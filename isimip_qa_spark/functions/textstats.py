@@ -1,0 +1,138 @@
+"""Gopher/C4-style heuristic text statistics as pure column expressions.
+
+Reference analogue: the extraction classes compute per-dataset assessment
+statistics with whole-array numpy ops (/root/reference/isimip_qa/extractions/
+mean.py:35, count.py:25); here the per-document statistics are Spark column
+expressions, so they run inside whole-stage codegen with zero Python in the
+hot path. Thresholds follow the published Gopher rules (Rae et al. 2021,
+"Scaling Language Models: ... Gopher", §A1.1) and C4 (Raffel et al. 2020).
+
+Tokenisation contract: split on single spaces (the synthetic corpora are
+space-normalised); `tokens_expr` is the single place to change that.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens_expr(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def n_words_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text)).cast("long")
+
+
+def n_chars_expr(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def mean_word_len_expr(text: Column) -> Column:
+    """Mean token length = non-space chars / token count (exact for
+    single-space-separated text; avoids a per-token aggregate)."""
+    nw = n_words_expr(text)
+    non_space = F.length(F.replace(text, F.lit(" "), F.lit("")))
+    return non_space.cast("double") / nw.cast("double")
+
+
+def distinct_word_ratio_expr(text: Column) -> Column:
+    """Repetition proxy: |distinct tokens| / |tokens| (Gopher's dup-line /
+    dup-paragraph fractions degenerate to this on single-line docs)."""
+    toks = tokens_expr(text)
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+
+
+def symbol_ratio_expr(text: Column) -> Column:
+    """Symbols (# and ellipsis and other non-alnum-non-space) per word."""
+    nw = n_words_expr(text)
+    n_sym = F.regexp_count(text, F.lit("[^A-Za-z0-9 \\t\\n]"))
+    return n_sym.cast("double") / nw.cast("double")
+
+
+def digit_ratio_expr(text: Column) -> Column:
+    n = F.length(text)
+    return F.regexp_count(text, F.lit(r"[0-9]")).cast("double") / n.cast("double")
+
+
+def ellipsis_count_expr(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(r"\.\.\.")).cast("long")
+
+
+def bullet_start_expr(text: Column) -> Column:
+    """Fraction of lines starting with a bullet glyph."""
+    lines = F.split(text, "\n")
+    bullets = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^\s*[-*•]"))
+    )
+    return bullets.cast("double") / F.size(lines).cast("double")
+
+
+def stopword_hits_expr(text: Column, stopwords: list[str]) -> Column:
+    """Occurrence count (not distinct) of stop-words among tokens."""
+    sw = F.lit(stopwords)
+    return F.size(
+        F.filter(tokens_expr(F.lower(text)), lambda x: F.array_contains(sw, x))
+    ).cast("long")
+
+
+def stopword_ratio_expr(text: Column, stopwords: list[str]) -> Column:
+    return stopword_hits_expr(text, stopwords).cast("double") / n_words_expr(
+        text
+    ).cast("double")
+
+
+# A compact English stop-word list (C4 uses a similar small set for its
+# "contains ≥1 stop word" rule). Kept short and frozen: it is part of the
+# keep/drop contract shared with the pandas + DuckDB oracles.
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "were", "be", "with", "that", "this", "for", "on", "it", "as",
+]
+
+
+@dataclass(frozen=True)
+class GopherThresholds:
+    """Keep/drop thresholds (Gopher §A1.1 defaults, adjusted to our corpora)."""
+
+    min_words: int = 50
+    max_words: int = 100_000
+    min_mean_word_len: float = 2.0
+    max_mean_word_len: float = 12.0
+    max_symbol_ratio: float = 0.1
+    min_distinct_word_ratio: float = 0.1
+    min_stopword_ratio: float = 0.01
+    max_ellipsis: int = 5
+
+
+def rule_columns(text: Column, th: GopherThresholds | None = None) -> dict[str, Column]:
+    """All heuristic rule statistics for one text column, as named exprs."""
+    th = th or GopherThresholds()
+    return {
+        "n_words": n_words_expr(text),
+        "mean_word_len": mean_word_len_expr(text),
+        "symbol_ratio": symbol_ratio_expr(text),
+        "distinct_word_ratio": distinct_word_ratio_expr(text),
+        "stopword_ratio": stopword_ratio_expr(text, EN_STOPWORDS),
+        "ellipsis_count": ellipsis_count_expr(text),
+    }
+
+
+def keep_expr(text: Column, th: GopherThresholds | None = None) -> Column:
+    """The keep/drop decision: a single boolean expression over the rules
+    (reference analogue: the implicit per-dataset 'assessment')."""
+    th = th or GopherThresholds()
+    c = rule_columns(text, th)
+    return (
+        (c["n_words"] >= th.min_words)
+        & (c["n_words"] <= th.max_words)
+        & (c["mean_word_len"] >= th.min_mean_word_len)
+        & (c["mean_word_len"] <= th.max_mean_word_len)
+        & (c["symbol_ratio"] <= th.max_symbol_ratio)
+        & (c["distinct_word_ratio"] >= th.min_distinct_word_ratio)
+        & (c["stopword_ratio"] >= th.min_stopword_ratio)
+        & (c["ellipsis_count"] <= th.max_ellipsis)
+    )

@@ -1,0 +1,203 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-d).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set against
+the corpus; at 10^12 rows this is a broadcast nested-loop whose inner side is
+columnar-scanned once, the right default until an index exists.
+
+Scale path: random-hyperplane LSH bucketing — 12 fixed hyperplanes → 4096
+buckets; candidates share the query's bucket; exact cosine re-rank inside the
+bucket. Both engines use identical literal hyperplanes and the identical
+left-to-right fold for dot products, so results match bit-for-bit (modulo a
+round-6 on the similarity).
+
+Float32 inputs are cast to double *before* any arithmetic (exact widening).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import read_table
+from . import register
+
+N_QUERIES = 5  # vec_id 0..4 are the query vectors
+TOP_K = 5
+N_PLANES = 12
+DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Fixed pseudo-random hyperplanes, dyadic components (exact literals):
+    w[p][d] = ((p*DIM + d) * 2654435761 mod 4096) / 2048 - 1  ∈ [-1, 1)."""
+    return [
+        [(((p * DIM + d) * 2654435761) % 4096) / 2048.0 - 1.0 for d in range(DIM)]
+        for p in range(N_PLANES)
+    ]
+
+
+HYPERPLANES = _hyperplanes()
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold — matches DuckDB list_sum order on the twin expr."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _vec_d(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _plane_sql(p: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in p) + "]"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of `_dot`: list_reduce over the zipped products, seeded
+    with 0.0 by prepending — list_sum's order is unspecified, so fold
+    explicitly: reduce(list_prepend(0.0, products), (acc, x) -> acc + x)."""
+    prod = f"list_transform(range(1, {DIM} + 1), i -> {a}[i] * {b}[i])"
+    return f"list_reduce(list_prepend(0.0, {prod}), (acc, x) -> acc + x)"
+
+
+_EMB_D_SQL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_D_SQL} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_dot_sql('q.qv', 'e.v')} /
+               (sqrt({_dot_sql('q.qv', 'q.qv')}) * sqrt({_dot_sql('e.v', 'e.v')})) AS sim
+      FROM q JOIN e ON e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    sims = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("v"), F.col("v")))
+                )
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _bucket_sql(vec: str) -> str:
+    bits = []
+    for p, plane in enumerate(HYPERPLANES):
+        d = _dot_sql(vec, _plane_sql(plane))
+        bits.append(f"(CASE WHEN {d} > 0 THEN {2**p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")::BIGINT"
+
+
+def _bucket_expr(vec: Column) -> Column:
+    val = F.lit(0).cast("long")
+    for p, plane in enumerate(HYPERPLANES):
+        d = _dot(vec, F.lit(plane))
+        val = val + F.when(d > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0))
+    return val
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_D_SQL} AS v, {_bucket_sql(_EMB_D_SQL)} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM e WHERE vec_id < {N_QUERIES}),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_dot_sql('q.qv', 'e.v')} /
+               (sqrt({_dot_sql('q.qv', 'q.qv')}) * sqrt({_dot_sql('e.v', 'e.v')})) AS sim
+      FROM q JOIN e ON e.bucket = q.qb AND e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d("embedding").alias("v")
+    )
+    e = e.withColumn("bucket", _bucket_expr(F.col("v")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    sims = e.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            _dot(F.col("qv"), F.col("v"))
+            / (
+                F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(_dot(F.col("v"), F.col("v")))
+            )
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+@register(
+    "embed_norm_stats",
+    oracle=f"""
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt({_dot_sql(_EMB_D_SQL, _EMB_D_SQL)})), 6) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    v = _vec_d("embedding")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.sqrt(_dot(v, v))), 6).alias("avg_norm"),
+    )

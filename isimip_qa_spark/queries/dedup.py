@@ -1,0 +1,152 @@
+"""Deduplication operators over `documents`.
+
+Scale design: exact dedup is a hash groupBy (one shuffle on a 64-bit text
+hash, never on the text itself); near-dup is MinHash+LSH — candidates from a
+band-key self-join (shuffle on short band keys), then *exact* Jaccard
+verification on the candidate pairs only. The verified output is what the
+oracle checks: the O(n²) DuckDB twin computes ground-truth pairs, so any LSH
+false negative (probability ≈ 6e-8 per true pair at J≥0.9 with 16×4 bands)
+or false positive would surface as a mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import read_table
+from ..functions import textstats as ts
+from ..functions.fingerprint import (
+    band_keys_expr,
+    minhash_sig_expr,
+    shingles_expr,
+    shingles_sql,
+    token_hash_expr,
+    token_hash_sql,
+)
+from . import register
+
+JACCARD_THRESHOLD = 0.5
+
+# ---------------------------------------------------------------------------
+# Exact dedup: rank within identical-text groups. At 100 TB: group on
+# xxhash64(text) first (shuffles 8 bytes/row), verify text equality within
+# groups; here text-as-key directly for oracle clarity.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS dup_rank,
+           count(*) OVER (PARTITION BY text) AS group_size
+    FROM documents
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text")
+    return d.select(
+        "doc_id",
+        F.row_number().over(w.orderBy("doc_id")).alias("dup_rank"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared ground truth for near-dup pairs: exact word-3-shingle Jaccard.
+# DuckDB oracle does the O(n²) self-join (fine at sf0.01); Spark must produce
+# the same pairs via the scalable path.
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_pairs_sql(threshold: float) -> str:
+    sh = shingles_sql("string_split(text, ' ')")
+    return f"""
+    WITH d AS (SELECT doc_id, {sh} AS sh FROM documents),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+    FROM p WHERE jaccard >= {threshold}
+    """
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", shingles_expr(ts.tokens_expr(F.col("text"))).alias("sh")
+    )
+
+
+def _verify_pairs(cands: DataFrame, shingled: DataFrame) -> DataFrame:
+    """Exact Jaccard on candidate pairs; emits (doc_a, doc_b, jaccard)."""
+    a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        joined.filter(jac >= JACCARD_THRESHOLD)  # filter pre-round (oracle parity)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# n-gram Jaccard near-dup via shingle-key blocking: a doc pair shares at
+# least one shingle if J > 0 — blocking on a *subset* of shingles (every
+# k-th by hash) bounds the join fan-out while keeping recall ≈ 1 for
+# J ≥ 0.5 (a J=0.5 pair shares ≥ 1/3 of shingles; sampling 1/4 of shingle
+# space misses with prob (3/4)^(shared) ≈ 0 for docs of ≥ 50 words).
+@register("dedup_ngram_jaccard", oracle=_jaccard_pairs_sql(JACCARD_THRESHOLD))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingled = _shingled(spark, sf_dir)
+    keyed = shingled.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(F.col("sh"), lambda s: F.xxhash64(s)),
+                lambda h: F.pmod(h, F.lit(4)) == 0,
+            )
+        ).alias("k"),
+    )
+    cands = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), F.col("x.k") == F.col("y.k"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_pairs(cands, shingled)
+
+
+# MinHash + LSH banding: 64 minhashes, 16 bands × 4 rows; candidates =
+# same band key; exact-verify. The scalable near-dup path for 10^12 docs
+# (shuffle carries only (band_key, doc_id)).
+@register("dedup_minhash_lsh", oracle=_jaccard_pairs_sql(JACCARD_THRESHOLD))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingled = _shingled(spark, sf_dir)
+    sig = shingled.select(
+        "doc_id",
+        F.transform(F.col("sh"), token_hash_expr).alias("sh_hashes"),
+    ).select(
+        "doc_id",
+        band_keys_expr(minhash_sig_expr(F.col("sh_hashes"))).alias("bands"),
+    )
+    keyed = sig.select("doc_id", F.explode("bands").alias("k"))
+    cands = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), F.col("x.k") == F.col("y.k"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_pairs(cands, shingled)

@@ -1,0 +1,314 @@
+"""North-rule payload queries (SURVEY.md §2.9) over the `documents` table.
+
+The production QA pipeline applies the same functions to the pages table
+(isimip_qa_spark/plans/pipeline.py); these twins pin the semantics against
+DuckDB. Tokenisation contract everywhere: split on single space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import read_table
+from ..functions import textstats as ts
+from ..functions.fingerprint import (
+    rolling_fingerprint_expr,
+    rolling_fingerprint_sql,
+    simhash_expr,
+    simhash_sql,
+)
+from ..functions.langid import LANG_ORDER, LANG_STOPWORDS, lang_pred_udf
+from ..functions.perplexity import OOV_LOGPROB, model_values_sql, ppl_udf
+from ..functions.scrub import scrub_expr, scrub_oracle_sql
+from . import register
+
+_TOKENS_SQL = "string_split(text, ' ')"
+_TOKENS_LOWER_SQL = "string_split(lower(text), ' ')"
+
+
+def _sw_list_sql(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style heuristic rules + keep/drop decision — pure column exprs
+# (reference anchor: per-dataset assessment stats, extractions/*.py).
+# ---------------------------------------------------------------------------
+
+_GOPHER_SQL = f"""
+    WITH s AS (
+      SELECT doc_id,
+             len({_TOKENS_SQL})::BIGINT AS n_words,
+             length(replace(text, ' ', ''))::DOUBLE / len({_TOKENS_SQL}) AS mean_word_len,
+             len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]'))::DOUBLE / len({_TOKENS_SQL}) AS symbol_ratio,
+             len(list_distinct({_TOKENS_SQL}))::DOUBLE / len({_TOKENS_SQL}) AS distinct_word_ratio,
+             len(list_filter({_TOKENS_LOWER_SQL}, x -> list_contains({_sw_list_sql(ts.EN_STOPWORDS)}, x)))::DOUBLE
+               / len({_TOKENS_SQL}) AS stopword_ratio,
+             len(regexp_extract_all(text, '\\.\\.\\.'))::BIGINT AS ellipsis_count
+      FROM documents
+    )
+    SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           round(distinct_word_ratio, 6) AS distinct_word_ratio,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           ellipsis_count,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+            AND symbol_ratio <= 0.1
+            AND distinct_word_ratio >= 0.1
+            AND stopword_ratio >= 0.01
+            AND ellipsis_count <= 5) AS keep
+    FROM s
+"""
+
+
+@register("gopher_rules", oracle=_GOPHER_SQL)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    cols = ts.rule_columns(text)
+    return d.select(
+        "doc_id",
+        cols["n_words"].alias("n_words"),
+        F.round(cols["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(cols["symbol_ratio"], 6).alias("symbol_ratio"),
+        F.round(cols["distinct_word_ratio"], 6).alias("distinct_word_ratio"),
+        F.round(cols["stopword_ratio"], 6).alias("stopword_ratio"),
+        cols["ellipsis_count"].alias("ellipsis_count"),
+        ts.keep_expr(text).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID: integer stop-word scores per language + argmax with fixed
+# tie-break. Spark side uses the production pandas UDF — proving the UDF
+# against the SQL twin is the point.
+# ---------------------------------------------------------------------------
+
+
+def _langid_sql() -> str:
+    score_cols = ", ".join(
+        f"len(list_filter({_TOKENS_LOWER_SQL}, x -> "
+        f"list_contains({_sw_list_sql(LANG_STOPWORDS[lang])}, x)))::BIGINT AS s_{lang}"
+        for lang in LANG_ORDER
+    )
+    # argmax with first-in-LANG_ORDER tie-break
+    pred = f"'{LANG_ORDER[-1]}'"
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = LANG_ORDER[LANG_ORDER.index(lang) + 1 :]
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in later)
+        pred = f"CASE WHEN {cond} THEN '{lang}' ELSE {pred} END"
+    return f"""
+    WITH s AS (SELECT doc_id, {score_cols} FROM documents)
+    SELECT doc_id, {', '.join('s_' + l for l in LANG_ORDER)}, {pred} AS lang_pred
+    FROM s
+    """
+
+
+@register("langid", oracle=_langid_sql())
+def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.langid import lang_score_exprs
+
+    d = read_table(spark, sf_dir, "documents")
+    scores = lang_score_exprs(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[scores[lang].alias(f"s_{lang}") for lang in LANG_ORDER],
+        lang_pred_udf(F.col("text")).alias("lang_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity: broadcast unigram model + Arrow pandas UDF; oracle = unnest +
+# join against the same model as a VALUES relation. Dyadic logprobs make
+# avg_logprob bit-exact; ppl rounded for the exp() libm ulp.
+# ---------------------------------------------------------------------------
+
+
+def _ppl_sql() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    scored AS (
+      SELECT tok.doc_id, coalesce(lm.lp, {OOV_LOGPROB!r}) AS lp
+      FROM tok LEFT JOIN {model_values_sql()} ON tok.token = lm.token
+    )
+    SELECT doc_id, sum(lp) / count(*) AS avg_logprob,
+           round(exp(-(sum(lp) / count(*))), 6) AS ppl
+    FROM scored GROUP BY doc_id
+    """
+
+
+@register("perplexity", oracle=_ppl_sql())
+def perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", ppl_udf(F.col("text")).alias("s"))
+    return scored.select(
+        "doc_id",
+        F.col("s.avg_logprob").alias("avg_logprob"),
+        F.round(F.col("s.ppl"), 6).alias("ppl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII/toxicity scrub — JVM regexp_replace chain vs DuckDB RE2 chain on the
+# engine-portable pattern subset (Python-re byte-identity is covered by the
+# pipeline tests on planted PII).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scrub_pii",
+    oracle=f"SELECT doc_id, {scrub_oracle_sql('text')} AS text_scrubbed FROM documents",
+)
+def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", scrub_expr(F.col("text")).alias("text_scrubbed"))
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + a BPE-ish regex segmentation count.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKENS_SQL})::BIGINT AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ts.n_words_expr(F.col("text")).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite quality score (second-stage rollup analogue of the plot phase).
+# Exact-ish: ratios of integers; rounded to 6.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(
+             0.4 * least(len({_TOKENS_SQL}) / 100.0, 1.0)
+           + 0.3 * (len(list_distinct({_TOKENS_SQL}))::DOUBLE / len({_TOKENS_SQL}))
+           + 0.3 * least((len(list_filter({_TOKENS_LOWER_SQL}, x -> list_contains({_sw_list_sql(ts.EN_STOPWORDS)}, x)))::DOUBLE / len({_TOKENS_SQL})) / 0.1, 1.0)
+           , 6) AS quality
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    nw = ts.n_words_expr(text)
+    q = (
+        0.4 * F.least(nw / 100.0, F.lit(1.0))
+        + 0.3 * ts.distinct_word_ratio_expr(text)
+        + 0.3 * F.least(ts.stopword_ratio_expr(text, ts.EN_STOPWORDS) / 0.1, F.lit(1.0))
+    )
+    return d.select("doc_id", F.round(q, 6).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Order-sensitive rolling-hash document fingerprint (exact integer math).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {rolling_fingerprint_sql(_TOKENS_SQL)} AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    toks = ts.tokens_expr(F.col("text"))
+    return d.select("doc_id", rolling_fingerprint_expr(toks).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash value per document (exact integer math; pair search in dedup.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simhash",
+    oracle=f"SELECT doc_id, {simhash_sql(_TOKENS_SQL)} AS sh FROM documents",
+)
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    toks = ts.tokens_expr(F.col("text"))
+    return d.select("doc_id", simhash_expr(toks).alias("sh"))
+
+
+# ---------------------------------------------------------------------------
+# Second-stage rollup: per (lang, source) keep-rate + mean quality — the
+# analogue of the reference's plot-phase groupbys (plots/*.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_quality_rollup",
+    oracle=f"""
+    WITH g AS ({_GOPHER_SQL})
+    SELECT d.lang, d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           round(avg(g.distinct_word_ratio), 6) AS avg_distinct_ratio
+    FROM documents d JOIN g ON d.doc_id = g.doc_id
+    GROUP BY d.lang, d.source
+    """,
+)
+def lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    g = gopher_rules(spark, sf_dir)
+    return (
+        d.join(g, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+            F.round(F.avg("distinct_word_ratio"), 6).alias("avg_distinct_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: treat text bytes as an opaque binary column with typed
+# metadata (decode itself is stubbed in operators/multimodal.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           ascii(text[1:1]) AS first_byte
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).cast("long").alias("n_bytes"),
+        F.ascii(F.col("text")).cast("int").alias("first_byte"),
+    )
