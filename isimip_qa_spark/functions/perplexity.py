@@ -22,14 +22,30 @@ from pyspark.sql import functions as F
 
 OOV_LOGPROB = -8.0  # dyadic
 
-# Frozen model vocabulary: the synthetic corpora vocabulary + QA stop-words.
-_VOCAB = [
-    "a", "agg", "and", "batch", "big", "column", "customer", "data", "fast",
-    "filter", "group", "hash", "join", "key", "line", "merge", "order",
-    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
-    "stream", "table", "the", "value", "vector", "window",
-    "of", "to", "in", "is", "that", "with", "for", "this",
-]
+# Frozen model vocabulary: the synthetic corpora vocabulary + all language
+# stop-words + pages content words (gibberish/symbols stay OOV → high ppl).
+
+
+def _vocab() -> list[str]:
+    from .langid import LANG_STOPWORDS
+    from .vocab import CONTENT_WORDS
+
+    base = [
+        "a", "agg", "and", "batch", "big", "column", "customer", "data",
+        "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+        "order", "part", "query", "row", "scan", "slow", "small", "sort",
+        "spark", "stream", "table", "the", "value", "vector", "window",
+        "of", "to", "in", "is", "that", "with", "for", "this",
+    ]
+    words = set(base)
+    for sw in LANG_STOPWORDS.values():
+        words.update(sw)
+    for cw in CONTENT_WORDS.values():
+        words.update(cw)
+    return sorted(words)
+
+
+_VOCAB = _vocab()
 
 
 def build_model() -> dict[str, float]:

@@ -46,10 +46,15 @@ def distinct_word_ratio_expr(text: Column) -> Column:
     return F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
 
 
+# ASCII punctuation only (never counts CJK/accented letters as symbols);
+# identical semantics in Java regex / RE2 / Python re.
+SYMBOL_CLASS = "[!-/:-@\\[-`{-~]"
+
+
 def symbol_ratio_expr(text: Column) -> Column:
-    """Symbols (# and ellipsis and other non-alnum-non-space) per word."""
+    """ASCII symbol occurrences per word."""
     nw = n_words_expr(text)
-    n_sym = F.regexp_count(text, F.lit("[^A-Za-z0-9 \\t\\n]"))
+    n_sym = F.regexp_count(text, F.lit(SYMBOL_CLASS))
     return n_sym.cast("double") / nw.cast("double")
 
 

@@ -1,0 +1,54 @@
+"""QA run configuration (the reference's `settings`, config.py:15-19,
+reduced to a frozen dataclass — every derived value is a pure function)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+def _union_stopwords() -> list[str]:
+    from ..functions.langid import LANG_STOPWORDS
+
+    out: set[str] = set()
+    for sw in LANG_STOPWORDS.values():
+        out.update(sw)
+    return sorted(out)
+
+
+@dataclass(frozen=True)
+class QAConfig:
+    """Thresholds + scopes for one QA run.
+
+    `window` is the reference's Period (models.py:102-109): inclusive
+    warc_ts bounds, None = auto/all. `cohort_langs` is the Region analogue
+    (models.py:73-99): a cohort predicate over the corpus.
+    """
+
+    # Gopher/C4-style rule thresholds (multilingual-safe defaults)
+    min_words: int = 50
+    max_words: int = 100_000
+    min_mean_word_len: float = 1.0
+    max_mean_word_len: float = 20.0
+    max_symbol_ratio: float = 0.1
+    min_distinct_word_ratio: float = 0.1
+    min_stopword_ratio: float = 0.01
+    max_ellipsis: int = 5
+    # model-based thresholds
+    max_ppl: float = 1500.0
+    allowed_langs: tuple[str, ...] = ("en", "es", "fr", "de", "zh")
+    # scopes
+    window: tuple[str, str] | None = None  # inclusive (lo, hi) on warc_ts
+    cohort_langs: tuple[str, ...] | None = None  # None = whole corpus
+    # execution
+    n_chunks: int = 8  # checkpoint granularity (resume unit)
+    n_partitions: int = 32
+    hot_host_frac: float = 0.05  # hosts above this share of rows get salted
+    n_salts: int = 8
+    stopwords: list[str] = field(default_factory=_union_stopwords)
+
+    def config_hash(self) -> str:
+        """Stable hash recorded in lineage (run manifest identity)."""
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]

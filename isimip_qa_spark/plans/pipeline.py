@@ -1,0 +1,158 @@
+"""The fused QA DAG: scope filters → salted repartition → all stages in one
+pass → chunked checkpointed sink + per-partition metrics/lineage.
+
+Physical shape (the properties that carry to 1000 executors / 100 TB):
+- ONE scan feeds all stages (reference's shared scan, main.py:130-136):
+  stages only add columns, so the whole DAG is a single narrow pipeline —
+  scan → project(+pandas UDFs) → write. No shuffle except the deliberate
+  salted repartition.
+- Scope filters (warc_ts window = Period, lang cohort = Region) are applied
+  before anything else → parquet/Iceberg pushdown + partition pruning.
+- `html` is dropped immediately unless a stage needs it (column pruning
+  discipline; the scan never materialises it for text-only runs).
+- Metrics are computed per Spark partition via spark_partition_id() inside
+  the same pass (observe-style), appended to a metrics table — the analogue
+  of the reference's extraction artifacts (mixins/extractions.py:42-62).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import chunk_path, completed_chunks, mark_chunk_done
+from .config import QAConfig
+from .skew import detect_hot_hosts, salted_repartition
+from .stages import STAGES
+
+METRIC_RULE_COLS = [
+    "n_words", "mean_word_len", "symbol_ratio",
+    "distinct_word_ratio", "stopword_ratio", "ellipsis_count",
+]
+
+
+def scope_filter(df: DataFrame, cfg: QAConfig) -> DataFrame:
+    """Period + Region analogues; both push down to the scan."""
+    if cfg.window is not None:
+        lo, hi = cfg.window
+        df = df.filter(
+            F.col("warc_ts").between(F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp"))
+        )
+    if cfg.cohort_langs is not None:
+        df = df.filter(F.col("lang").isin(*cfg.cohort_langs))
+    # tolerant-time semantics (reference: unparseable → NaT → dropped,
+    # mixins/extractions.py:82-84)
+    return df.filter(F.col("warc_ts").isNotNull())
+
+
+def apply_stages(df: DataFrame, cfg: QAConfig) -> DataFrame:
+    for stage in STAGES:
+        df = stage.apply(df, cfg)
+    return df
+
+
+def partition_metrics(scored: DataFrame, cfg: QAConfig) -> DataFrame:
+    """Per-partition QA metrics (the extraction-artifact analogue)."""
+    return scored.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+        F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+        F.round(F.avg("n_words"), 4).alias("avg_words"),
+        F.sum(
+            F.when(F.col("n_words") < cfg.min_words, 1).otherwise(0)
+        ).alias("trip_short"),
+        F.sum(
+            F.when(F.col("symbol_ratio") > cfg.max_symbol_ratio, 1).otherwise(0)
+        ).alias("trip_symbol"),
+        F.sum(
+            F.when(F.col("text_scrubbed") != F.col("text"), 1).otherwise(0)
+        ).alias("n_scrubbed"),
+        F.min("warc_ts").alias("ts_min"),
+        F.max("warc_ts").alias("ts_max"),
+    )
+
+
+def run_qa(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: QAConfig,
+    out_dir: str,
+    resume: bool = True,
+    with_html: bool = False,
+) -> dict:
+    """Run the full QA DAG with chunked checkpointing.
+
+    Returns a summary dict: chunks run/skipped, rows, wall seconds.
+    The scored corpus lands in out_dir/data/chunk=K/; per-partition metrics
+    in out_dir/metrics/; lineage rows in out_dir/lineage/.
+    """
+    t0 = time.time()
+    df = scope_filter(pages, cfg)
+    if not with_html:
+        # column-pruning discipline: text stages must never scan html bytes
+        df = df.drop("html")
+
+    hot = detect_hot_hosts(df, cfg.hot_host_frac)
+    df = df.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.n_chunks)))
+
+    done = completed_chunks(out_dir) if resume else set()
+    ran, skipped, total_rows = [], [], 0
+    cfg_hash = cfg.config_hash()
+
+    for chunk in range(cfg.n_chunks):
+        if chunk in done:
+            skipped.append(chunk)
+            continue
+        t_chunk = time.time()
+        part = df.filter(F.col("bucket") == chunk).drop("bucket")
+        part = salted_repartition(part, cfg.n_partitions, hot, cfg.n_salts)
+        scored = apply_stages(part, cfg)
+        scored.write.mode("overwrite").parquet(chunk_path(out_dir, chunk))
+
+        out = spark.read.parquet(chunk_path(out_dir, chunk))
+        metrics = (
+            partition_metrics(out, cfg)
+            .withColumn("chunk", F.lit(chunk))
+            .withColumn("config_hash", F.lit(cfg_hash))
+        )
+        metrics.write.mode("append").parquet(f"{out_dir}/metrics")
+        n_rows = out.count()
+        total_rows += n_rows
+
+        # lineage: what ran, over what, producing what (north_rule)
+        lineage = spark.createDataFrame(
+            [
+                (
+                    cfg_hash,
+                    chunk,
+                    ",".join(s.name for s in STAGES),
+                    n_rows,
+                    len(hot),
+                    round(time.time() - t_chunk, 3),
+                )
+            ],
+            "config_hash string, chunk int, stages string, rows long, "
+            "n_hot_hosts int, wall_s double",
+        )
+        lineage.write.mode("append").parquet(f"{out_dir}/lineage")
+        mark_chunk_done(
+            out_dir,
+            chunk,
+            {"rows": n_rows, "config_hash": cfg_hash, "stages": [s.name for s in STAGES]},
+        )
+        ran.append(chunk)
+
+    return {
+        "chunks_run": ran,
+        "chunks_skipped": skipped,
+        "rows": total_rows,
+        "wall_s": round(time.time() - t0, 3),
+        "hot_hosts": hot,
+        "config_hash": cfg_hash,
+    }
+
+
+def read_scored(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/data")

@@ -1,0 +1,55 @@
+"""Crawl-domain skew handling: salted repartition on url-host.
+
+The reference is single-node and has no skew story; the north_rule mandates
+one. Web crawls are Zipfian in host — a groupBy/repartition keyed on host
+alone puts 20 %+ of the corpus in one task. Strategy:
+
+1. detect hot hosts with a cheap aggregate (at 100 TB: sample or use
+   partition statistics; here exact count, it's one shuffle of (host, 1));
+2. rows of hot hosts get a salt from xxhash64(url) % n_salts, others salt 0;
+3. `repartition(n, host, salt)` spreads each hot host over n_salts tasks.
+
+Downstream per-host aggregations run two-phase: partial on (host, salt),
+final on host — the classic salted agg; AQE's skew-join splitting covers the
+join side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def host_expr(url_col: str = "url"):
+    return F.parse_url(F.col(url_col), F.lit("HOST"))
+
+
+def detect_hot_hosts(df: DataFrame, frac: float = 0.05, url_col: str = "url") -> list[str]:
+    """Hosts holding more than `frac` of all rows (collected — the hot list
+    is tiny by construction; at larger scale, sample first)."""
+    counts = (
+        df.select(host_expr(url_col).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = df.count()
+    rows = counts.filter(F.col("n") > total * frac).select("host").collect()
+    return [r["host"] for r in rows]
+
+
+def salted_repartition(
+    df: DataFrame,
+    n_partitions: int,
+    hot_hosts: list[str],
+    n_salts: int = 8,
+    url_col: str = "url",
+) -> DataFrame:
+    """Repartition on (host, salt): hot hosts spread over n_salts buckets."""
+    host = host_expr(url_col)
+    if hot_hosts:
+        salt = F.when(
+            host.isin(*hot_hosts), F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts))
+        ).otherwise(F.lit(0))
+    else:
+        salt = F.lit(0)
+    return df.repartition(n_partitions, host, salt)

@@ -41,7 +41,7 @@ _GOPHER_SQL = f"""
       SELECT doc_id,
              len({_TOKENS_SQL})::BIGINT AS n_words,
              length(replace(text, ' ', ''))::DOUBLE / len({_TOKENS_SQL}) AS mean_word_len,
-             len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]'))::DOUBLE / len({_TOKENS_SQL}) AS symbol_ratio,
+             len(regexp_extract_all(text, '{ts.SYMBOL_CLASS}'))::DOUBLE / len({_TOKENS_SQL}) AS symbol_ratio,
              len(list_distinct({_TOKENS_SQL}))::DOUBLE / len({_TOKENS_SQL}) AS distinct_word_ratio,
              len(list_filter({_TOKENS_LOWER_SQL}, x -> list_contains({_sw_list_sql(ts.EN_STOPWORDS)}, x)))::DOUBLE
                / len({_TOKENS_SQL}) AS stopword_ratio,

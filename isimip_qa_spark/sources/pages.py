@@ -1,0 +1,149 @@
+"""Deterministic synthetic Common-Crawl-style pages (FIXTURES.md §3).
+
+Schema per BASELINE.json `input_hint`:
+    pages(url string, warc_ts timestamp, html binary, text string, lang string)
+
+Everything is a pure function of the row id (no RNG state), so the Spark
+generator (mapInPandas over `spark.range`) and the pandas oracle produce
+byte-identical rows at any scale and any partitioning — the analogue of the
+reference's analytically-known fixtures
+(/root/reference/testing/extractions/*.csv; crafted fields with exact
+expected outputs).
+
+Planted structure, by id % 100 (each bucket toggles exactly one QA rule so
+keep/drop goldens are derivable):
+    00-69  clean doc in one of 5 languages        → keep
+    70-74  too short (< MIN words)                → drop (n_words rule)
+    75-79  symbol-heavy                           → drop (symbol_ratio rule)
+    80-84  high repetition (one word repeated)    → drop (distinct_word_ratio)
+    85-89  no stop-words                          → drop (stopword_ratio rule)
+    90-93  ellipsis spam                          → drop (ellipsis rule)
+    94-96  clean + planted PII                    → keep, text_scrubbed ≠ text
+    97-99  near-duplicate of doc id-1             → keep (dedup finds pairs)
+
+Host skew (exercises salting): 20 % of pages land on host-0; the rest are
+spread over 500 hosts by a multiplicative hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.langid import LANG_ORDER, LANG_STOPWORDS
+
+KNUTH = 2654435761
+N_HOSTS = 500
+HOT_HOST_EVERY = 5  # id % 5 == 0 → host 0 (20 % of the corpus)
+BASE_TS = np.datetime64("2024-01-01T00:00:00")
+CLEAN_WORDS = 120  # words per clean doc
+MIN_WORDS = 50
+
+from ..functions.vocab import CONTENT_WORDS as _CONTENT
+
+PII_EMAIL = "contact.person@example-mail.com"
+PII_PHONE = "+1 (555) 123-4567"
+PII_IP = "192.168.10.42"
+
+
+def _words_for(doc_id: int, lang: str, n: int, stop_every: int = 4) -> list[str]:
+    """Deterministic word sequence: every `stop_every`-th word is a stop-word
+    of `lang`, the rest content words, both indexed by a rolling hash."""
+    sw = LANG_STOPWORDS[lang]
+    cw = _CONTENT[lang]
+    out = []
+    h = (doc_id * KNUTH) % (1 << 31)
+    for i in range(n):
+        h = (h * 1103515245 + 12345) % (1 << 31)
+        if stop_every and i % stop_every == 0:
+            out.append(sw[h % len(sw)])
+        else:
+            out.append(cw[h % len(cw)])
+    return out
+
+
+def _text_for(doc_id: int) -> tuple[str, str]:
+    """(text, true_lang) for one id — the single source of truth."""
+    bucket = doc_id % 100
+    lang = LANG_ORDER[(doc_id // 100) % len(LANG_ORDER)]
+    if bucket >= 97:  # near-dup of the previous doc: same words + 2 extras
+        base, lang = _text_for(doc_id - 1) if (doc_id - 1) % 100 < 97 else ("", lang)
+        if base:
+            return base + " extra token" + str(doc_id % 7), lang
+        # doc id-1 was itself a dup → fall through to clean
+        bucket = 0
+    if bucket < 70 or bucket >= 94:
+        words = _words_for(doc_id, lang, CLEAN_WORDS)
+        text = " ".join(words)
+        if 94 <= bucket <= 96:  # planted PII
+            text = (
+                text + " reach us at " + PII_EMAIL + " or call " + PII_PHONE
+                + " server " + PII_IP
+            )
+        return text, lang
+    if bucket < 75:  # too short
+        return " ".join(_words_for(doc_id, lang, MIN_WORDS - 20)), lang
+    if bucket < 80:  # symbol-heavy
+        words = _words_for(doc_id, lang, CLEAN_WORDS)
+        sym = ["#@!%", "$$$", "^&*(", "<<>>"]
+        mixed = [w if i % 2 == 0 else sym[i % len(sym)] for i, w in enumerate(words)]
+        return " ".join(mixed), lang
+    if bucket < 85:  # high repetition (2-token loop keeps the other rules green)
+        pair = [LANG_STOPWORDS[lang][0], _CONTENT[lang][0]]
+        return " ".join(pair * (CLEAN_WORDS // 2)), lang
+    if bucket < 90:  # zero stop-words
+        return " ".join(_words_for(doc_id, lang, CLEAN_WORDS, stop_every=0)), lang
+    # ellipsis spam
+    words = _words_for(doc_id, lang, CLEAN_WORDS)
+    spam = [w if i % 10 else w + " ... ... ..." for i, w in enumerate(words)]
+    return " ".join(spam), lang
+
+
+def pages_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """The pure generator: id array → pages DataFrame (oracle + Spark)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    texts, langs = [], []
+    for i in ids:
+        t, lg = _text_for(int(i))
+        texts.append(t)
+        langs.append(lg)
+    host_hash = (ids * KNUTH) % N_HOSTS
+    host = np.where(ids % HOT_HOST_EVERY == 0, 0, 1 + host_hash % (N_HOSTS - 1))
+    urls = [
+        f"https://host{h}.example.org/p/{i}" for h, i in zip(host, ids)
+    ]
+    ts = BASE_TS + ((ids * 7919) % (30 * 86400)).astype("timedelta64[s]")
+    html = [
+        b"<html><head><title>p" + str(i).encode() + b"</title></head><body>"
+        + t.encode("utf-8")
+        + b"</body></html>"
+        for i, t in zip(ids, texts)
+    ]
+    return pd.DataFrame(
+        {
+            "url": urls,
+            "warc_ts": pd.Series(ts),
+            "html": html,
+            "text": texts,
+            "lang": langs,
+        }
+    )
+
+
+def pages_df(spark, n: int, num_partitions: int = 32):
+    """Distributed generator: spark.range → mapInPandas(pages_pandas).
+    Deterministic regardless of partitioning (row content is f(id) only)."""
+    from ..catalog import PAGES_SCHEMA
+
+    def gen(batches):
+        for pdf in batches:
+            yield pages_pandas(pdf["id"].to_numpy())
+
+    return (
+        spark.range(0, n, 1, num_partitions)
+        .mapInPandas(gen, schema=PAGES_SCHEMA)
+    )
+
+
+def write_pages(spark, path: str, n: int, num_partitions: int = 32) -> None:
+    pages_df(spark, n, num_partitions).write.mode("overwrite").parquet(path)

@@ -1,0 +1,107 @@
+"""Pure-pandas reference implementation of the QA pipeline — the analogue of
+the reference's independent CDO oracle for the mean extraction
+(/root/reference/isimip_qa/tests/test_extractions.py:55-61,
+testing/cdo/README.md). The Spark pipeline's keep/drop labels must match
+this at F1 ≥ 0.99 (BASELINE.json metric) and `text_scrubbed` must be
+byte-identical per url.
+
+Deliberately written against pandas/numpy primitives, NOT by calling the
+Spark expression builders — an independent second implementation. The only
+shared artifacts are the frozen constants (stop-word lists, model dict,
+regex patterns, thresholds), which are part of the contract itself.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from isimip_qa_spark.functions.langid import LANG_ORDER, LANG_STOPWORDS
+from isimip_qa_spark.functions.perplexity import MODEL, OOV_LOGPROB
+from isimip_qa_spark.functions.scrub import ALL_PATTERNS
+from isimip_qa_spark.plans.config import QAConfig
+
+_SYMBOL_RE = re.compile(r"[!-/:-@\[-`{-~]")
+_ELLIPSIS_RE = re.compile(r"\.\.\.")
+
+
+def qa_frame(pages: pd.DataFrame, cfg: QAConfig | None = None) -> pd.DataFrame:
+    """pages(url, warc_ts, text, lang[, html]) → scored frame with the same
+    derived columns the Spark pipeline adds."""
+    cfg = cfg or QAConfig()
+    out = pages.copy()
+    texts = out["text"]
+
+    tok_lists = [t.split(" ") for t in texts]
+    n_words = np.array([len(tk) for tk in tok_lists], dtype=np.int64)
+    non_space = np.array([len(t.replace(" ", "")) for t in texts], dtype=np.int64)
+    out["n_words"] = n_words
+    out["mean_word_len"] = non_space / n_words
+    out["symbol_ratio"] = (
+        np.array([len(_SYMBOL_RE.findall(t)) for t in texts]) / n_words
+    )
+    out["distinct_word_ratio"] = (
+        np.array([len(set(tk)) for tk in tok_lists]) / n_words
+    )
+    sw = set(cfg.stopwords)
+    out["stopword_ratio"] = (
+        np.array([sum(1 for w in t.lower().split(" ") if w in sw) for t in texts])
+        / n_words
+    )
+    out["ellipsis_count"] = np.array(
+        [len(_ELLIPSIS_RE.findall(t)) for t in texts], dtype=np.int64
+    )
+
+    # language-ID: stop-word occurrence argmax, LANG_ORDER tie-break
+    lang_sets = {lg: set(ws) for lg, ws in LANG_STOPWORDS.items()}
+    preds = []
+    for t in texts:
+        toks = t.lower().split(" ")
+        counts = [sum(1 for w in toks if w in lang_sets[lg]) for lg in LANG_ORDER]
+        preds.append(LANG_ORDER[int(np.argmax(counts))])
+    out["lang_pred"] = preds
+
+    # perplexity: unigram logprobs (dyadic → exact), OOV penalty
+    avg_lp = np.array(
+        [
+            np.sum([MODEL.get(w, OOV_LOGPROB) for w in t.lower().split(" ")])
+            / len(t.split(" "))
+            for t in texts
+        ]
+    )
+    out["avg_logprob"] = avg_lp
+    out["ppl"] = np.exp(-avg_lp)
+
+    # scrub: same compiled-Python-re chain (byte-identity contract)
+    scrubbed = texts
+    for pat, repl in ALL_PATTERNS:
+        scrubbed = scrubbed.str.replace(re.compile(pat), repl, regex=True)
+    out["text_scrubbed"] = scrubbed
+
+    out["keep"] = (
+        (out["n_words"] >= cfg.min_words)
+        & (out["n_words"] <= cfg.max_words)
+        & (out["mean_word_len"] >= cfg.min_mean_word_len)
+        & (out["mean_word_len"] <= cfg.max_mean_word_len)
+        & (out["symbol_ratio"] <= cfg.max_symbol_ratio)
+        & (out["distinct_word_ratio"] >= cfg.min_distinct_word_ratio)
+        & (out["stopword_ratio"] >= cfg.min_stopword_ratio)
+        & (out["ellipsis_count"] <= cfg.max_ellipsis)
+        & (out["ppl"] <= cfg.max_ppl)
+        & (out["lang_pred"].isin(list(cfg.allowed_langs)))
+    )
+    return out
+
+
+def f1_score(pred: pd.Series, truth: pd.Series) -> float:
+    """keep/drop F1 (positive class = keep)."""
+    tp = int(((pred) & (truth)).sum())
+    fp = int(((pred) & (~truth)).sum())
+    fn = int(((~pred) & (truth)).sum())
+    if tp == 0:
+        return 0.0
+    p = tp / (tp + fp)
+    r = tp / (tp + fn)
+    return 2 * p * r / (p + r)
