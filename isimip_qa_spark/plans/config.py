@@ -43,6 +43,11 @@ class QAConfig:
     cohort_langs: tuple[str, ...] | None = None  # None = whole corpus
     # execution
     n_chunks: int = 8  # checkpoint granularity (resume unit)
+    # "chunked": one job per chunk — a killed run resumes per chunk.
+    # "single_pass": one fused job writing all chunks (partitionBy) — ~3×
+    # less fixed cost at small scale; a mid-run crash reruns the pass, but
+    # a completed run still resumes chunk-wise on later invocations.
+    checkpoint_mode: str = "chunked"
     n_partitions: int = 32
     hot_host_frac: float = 0.05  # hosts above this share of rows get salted
     n_salts: int = 8

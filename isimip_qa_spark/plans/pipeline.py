@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from .checkpoint import chunk_path, completed_chunks, mark_chunk_done
 from .config import QAConfig
 from .skew import detect_hot_hosts, salted_repartition
-from .stages import STAGES
+from .stages import FUSED_STAGES, STAGES
 
 METRIC_RULE_COLS = [
     "n_words", "mean_word_len", "symbol_ratio",
@@ -47,15 +47,19 @@ def scope_filter(df: DataFrame, cfg: QAConfig) -> DataFrame:
     return df.filter(F.col("warc_ts").isNotNull())
 
 
-def apply_stages(df: DataFrame, cfg: QAConfig) -> DataFrame:
-    for stage in STAGES:
+def apply_stages(df: DataFrame, cfg: QAConfig, fused: bool = True) -> DataFrame:
+    """Fused (default): the three Python stages run as ONE pandas UDF —
+    one Arrow transfer of `text` per batch instead of three. The unfused
+    path keeps per-stage physical separation (debugging / per-stage metrics)."""
+    for stage in (FUSED_STAGES if fused else STAGES):
         df = stage.apply(df, cfg)
+    if "scrubbed" not in df.columns:
+        df = df.withColumn("scrubbed", F.col("text_scrubbed") != F.col("text"))
     return df
 
 
-def partition_metrics(scored: DataFrame, cfg: QAConfig) -> DataFrame:
-    """Per-partition QA metrics (the extraction-artifact analogue)."""
-    return scored.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+def _metric_aggs(cfg: QAConfig) -> list:
+    return [
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
         F.round(F.avg("ppl"), 4).alias("avg_ppl"),
@@ -66,11 +70,16 @@ def partition_metrics(scored: DataFrame, cfg: QAConfig) -> DataFrame:
         F.sum(
             F.when(F.col("symbol_ratio") > cfg.max_symbol_ratio, 1).otherwise(0)
         ).alias("trip_symbol"),
-        F.sum(
-            F.when(F.col("text_scrubbed") != F.col("text"), 1).otherwise(0)
-        ).alias("n_scrubbed"),
+        F.sum(F.when(F.col("scrubbed"), 1).otherwise(0)).alias("n_scrubbed"),
         F.min("warc_ts").alias("ts_min"),
         F.max("warc_ts").alias("ts_max"),
+    ]
+
+
+def partition_metrics(scored: DataFrame, cfg: QAConfig) -> DataFrame:
+    """Per-partition QA metrics (the extraction-artifact analogue)."""
+    return scored.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        *_metric_aggs(cfg)
     )
 
 
@@ -81,6 +90,7 @@ def run_qa(
     out_dir: str,
     resume: bool = True,
     with_html: bool = False,
+    hot_hosts: list[str] | None = None,
 ) -> dict:
     """Run the full QA DAG with chunked checkpointing.
 
@@ -94,12 +104,21 @@ def run_qa(
         # column-pruning discipline: text stages must never scan html bytes
         df = df.drop("html")
 
-    hot = detect_hot_hosts(df, cfg.hot_host_frac)
-    df = df.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.n_chunks)))
+    # host skew statistics: pass precomputed stats (corpus-level, computed
+    # once per table — the Iceberg-table-statistics analogue) or detect now
+    hot = hot_hosts if hot_hosts is not None else detect_hot_hosts(df, cfg.hot_host_frac)
+    if "bucket" not in df.columns:
+        df = df.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.n_chunks)))
+    # else: input is pre-bucketed on pmod(xxhash64(url), n_chunks) — chunk
+    # filters below hit the partition column and prune the scan (Iceberg
+    # bucket-partition analogue). Contract: layout bucket count == n_chunks.
 
     done = completed_chunks(out_dir) if resume else set()
     ran, skipped, total_rows = [], [], 0
     cfg_hash = cfg.config_hash()
+
+    if cfg.checkpoint_mode == "single_pass" and not done:
+        return _run_single_pass(spark, df, cfg, out_dir, hot, cfg_hash, t0)
 
     for chunk in range(cfg.n_chunks):
         if chunk in done:
@@ -111,14 +130,19 @@ def run_qa(
         scored = apply_stages(part, cfg)
         scored.write.mode("overwrite").parquet(chunk_path(out_dir, chunk))
 
+        # metrics over the written chunk: parquet column pruning means this
+        # job reads only the small metric columns, never text/text_scrubbed
         out = spark.read.parquet(chunk_path(out_dir, chunk))
-        metrics = (
+        metrics_pdf = (
             partition_metrics(out, cfg)
             .withColumn("chunk", F.lit(chunk))
             .withColumn("config_hash", F.lit(cfg_hash))
+            .toPandas()
         )
-        metrics.write.mode("append").parquet(f"{out_dir}/metrics")
-        n_rows = out.count()
+        spark.createDataFrame(metrics_pdf).write.mode("append").parquet(
+            f"{out_dir}/metrics"
+        )
+        n_rows = int(metrics_pdf["n_docs"].sum())  # no separate count job
         total_rows += n_rows
 
         # lineage: what ran, over what, producing what (north_rule)
@@ -149,6 +173,71 @@ def run_qa(
         "chunks_skipped": skipped,
         "rows": total_rows,
         "wall_s": round(time.time() - t0, 3),
+        "hot_hosts": hot,
+        "config_hash": cfg_hash,
+    }
+
+
+def _run_single_pass(
+    spark: SparkSession,
+    df: DataFrame,
+    cfg: QAConfig,
+    out_dir: str,
+    hot: list[str],
+    cfg_hash: str,
+    t0: float,
+) -> dict:
+    """One fused job: salted repartition → stages → partitionBy(chunk) write.
+    Same on-disk layout + manifest as the chunked path, so later invocations
+    resume chunk-wise."""
+    part = salted_repartition(
+        df.withColumnRenamed("bucket", "chunk"), cfg.n_partitions, hot, cfg.n_salts
+    )
+    scored = apply_stages(part, cfg)
+    scored.write.mode("overwrite").partitionBy("chunk").parquet(f"{out_dir}/data")
+
+    # ONE metrics job: per (chunk, partition) aggregates; per-chunk row
+    # counts derive from it driver-side (no separate count job)
+    out = spark.read.parquet(f"{out_dir}/data")
+    metrics_pdf = (
+        out.groupBy(F.col("chunk"), F.spark_partition_id().alias("partition_id"))
+        .agg(*_metric_aggs(cfg))
+        .withColumn("config_hash", F.lit(cfg_hash))
+        .toPandas()
+    )
+    spark.createDataFrame(metrics_pdf).write.mode("append").parquet(
+        f"{out_dir}/metrics"
+    )
+    per_chunk = {
+        int(c): int(n)
+        for c, n in metrics_pdf.groupby("chunk")["n_docs"].sum().items()
+    }
+    total_rows = sum(per_chunk.values())
+    wall = round(time.time() - t0, 3)
+    lineage = spark.createDataFrame(
+        [
+            (cfg_hash, int(c), ",".join(s.name for s in STAGES), n, len(hot), wall)
+            for c, n in sorted(per_chunk.items())
+        ],
+        "config_hash string, chunk int, stages string, rows long, "
+        "n_hot_hosts int, wall_s double",
+    )
+    lineage.write.mode("append").parquet(f"{out_dir}/lineage")
+    for c in range(cfg.n_chunks):
+        mark_chunk_done(
+            out_dir,
+            c,
+            {
+                "rows": per_chunk.get(c, 0),
+                "config_hash": cfg_hash,
+                "stages": [s.name for s in STAGES],
+            },
+        )
+    return {
+        "chunks_run": list(range(cfg.n_chunks)),
+        "chunks_skipped": [],
+        "rows": total_rows,
+        "wall_s": wall,
         "hot_hosts": hot,
         "config_hash": cfg_hash,
     }

@@ -25,15 +25,23 @@ def host_expr(url_col: str = "url"):
 
 
 def detect_hot_hosts(df: DataFrame, frac: float = 0.05, url_col: str = "url") -> list[str]:
-    """Hosts holding more than `frac` of all rows (collected — the hot list
-    is tiny by construction; at larger scale, sample first)."""
+    """Hosts holding more than `frac` of all rows — ONE job (total from a
+    window over the host counts, not a second scan). The hot list is tiny by
+    construction; at 100 TB run this on a sample or partition statistics."""
+    from pyspark.sql import Window
+
     counts = (
         df.select(host_expr(url_col).alias("host"))
         .groupBy("host")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    total = df.count()
-    rows = counts.filter(F.col("n") > total * frac).select("host").collect()
+    total = F.sum("n").over(Window.partitionBy())
+    rows = (
+        counts.withColumn("tot", total)
+        .filter(F.col("n") > F.col("tot") * frac)
+        .select("host")
+        .collect()
+    )
     return [r["host"] for r in rows]
 
 

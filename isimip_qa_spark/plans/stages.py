@@ -85,6 +85,22 @@ def _decision(df: DataFrame, cfg: QAConfig) -> DataFrame:
     return df.withColumn("keep", keep)
 
 
+def _python_scores_fused(df: DataFrame, cfg: QAConfig) -> DataFrame:
+    """langid + perplexity + scrub in ONE Arrow round-trip (qa_fused.py);
+    outputs are identical to the three individual stages (tested)."""
+    from ..functions.qa_fused import qa_scores_udf
+
+    s = qa_scores_udf(F.col("text"))
+    return df.withColumns(
+        {
+            "lang_pred": s["lang_pred"],
+            "avg_logprob": s["avg_logprob"],
+            "ppl": s["ppl"],
+            "text_scrubbed": s["text_scrubbed"],
+        }
+    ).withColumn("scrubbed", F.col("text_scrubbed") != F.col("text"))
+
+
 STAGES: list[Stage] = [
     Stage("langid", _langid, ("lang_pred",)),
     Stage("perplexity", _perplexity, ("avg_logprob", "ppl")),
@@ -98,4 +114,16 @@ STAGES: list[Stage] = [
     ),
     Stage("scrub", _scrub, ("text_scrubbed",)),
     Stage("decision", _decision, ("keep",)),
+]
+
+# Physical plan actually executed by the pipeline: the three Python stages
+# fused into one UDF; logical stage list (lineage) stays STAGES.
+FUSED_STAGES: list[Stage] = [
+    Stage(
+        "python_scores",
+        _python_scores_fused,
+        ("lang_pred", "avg_logprob", "ppl", "text_scrubbed", "scrubbed"),
+    ),
+    STAGES[2],  # rules
+    STAGES[4],  # decision
 ]

@@ -145,5 +145,18 @@ def pages_df(spark, n: int, num_partitions: int = 32):
     )
 
 
-def write_pages(spark, path: str, n: int, num_partitions: int = 32) -> None:
-    pages_df(spark, n, num_partitions).write.mode("overwrite").parquet(path)
+def write_pages(
+    spark, path: str, n: int, num_partitions: int = 32, n_buckets: int | None = None
+) -> None:
+    """Persist the corpus; with `n_buckets`, lay it out partitioned by the
+    QA pipeline's chunk key (bucket = pmod(xxhash64(url), n_buckets)) so
+    chunk scans become partition-pruned reads — the parquet stand-in for an
+    Iceberg bucket-partition spec."""
+    from pyspark.sql import functions as F
+
+    df = pages_df(spark, n, num_partitions)
+    if n_buckets:
+        df = df.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
+        df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    else:
+        df.write.mode("overwrite").parquet(path)

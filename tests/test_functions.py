@@ -118,3 +118,16 @@ def test_minhash_jaccard_recall(pages_pdf):
         )
         hit += bands
     assert hit == len(pairs)
+
+
+def test_fused_equals_unfused(spark, pages_sdf):
+    """The fused single-UDF path == the three individual stages, exactly."""
+    from isimip_qa_spark.plans.config import QAConfig
+    from isimip_qa_spark.plans.pipeline import apply_stages
+
+    cfg = QAConfig()
+    sample = pages_sdf.limit(300)
+    fused = apply_stages(sample, cfg, fused=True).toPandas().sort_values("url")
+    plain = apply_stages(sample, cfg, fused=False).toPandas().sort_values("url")
+    for col in ["lang_pred", "avg_logprob", "ppl", "text_scrubbed", "keep", "scrubbed"]:
+        assert fused[col].tolist() == plain[col].tolist(), col

@@ -149,3 +149,27 @@ def test_window_and_cohort_pushdown(spark, pages_sdf, tmp_path):
 def test_hot_host_detected_and_salted(scored):
     _, summary, _ = scored
     assert "host0.example.org" in summary["hot_hosts"]
+
+
+def test_single_pass_mode_equivalent(spark, pages_sdf, cfg, scored, tmp_path):
+    """single_pass checkpoint mode: same output + manifest as chunked."""
+    from isimip_qa_spark.plans import QAConfig, run_qa
+
+    cfg2 = QAConfig(n_chunks=4, n_partitions=4, checkpoint_mode="single_pass")
+    out = str(tmp_path / "qa_sp")
+    summary = run_qa(spark, pages_sdf, cfg2, out)
+    assert summary["rows"] == 2000
+    assert sorted(summary["chunks_run"]) == [0, 1, 2, 3]
+    got = read_scored(spark, out).toPandas()
+    _, _, chunked = scored
+    a = got.sort_values("url")[["url", "keep", "text_scrubbed", "lang_pred"]]
+    b = chunked.sort_values("url")[["url", "keep", "text_scrubbed", "lang_pred"]]
+    assert a.values.tolist() == b.values.tolist()
+    # a later invocation resumes chunk-wise
+    summary2 = run_qa(spark, pages_sdf, cfg2, out, resume=True)
+    assert summary2["chunks_run"] == []
+    # dropping one manifest re-runs only that chunk (falls back to chunked)
+    os.remove(os.path.join(out, "_manifest", "chunk_1.json"))
+    summary3 = run_qa(spark, pages_sdf, cfg2, out, resume=True)
+    assert summary3["chunks_run"] == [1]
+    assert len(read_scored(spark, out).toPandas()) == 2000
