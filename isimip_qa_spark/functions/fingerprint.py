@@ -149,3 +149,109 @@ def simhash_sql(tokens_sql: str, bits: int = SIMHASH_BITS) -> str:
         )
         terms.append(f"(CASE WHEN {bit_sum} > 0 THEN {2**b} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+# --- vectorized pandas-UDF backend (identical integers to the expr path) ---
+
+
+def _shingle_parts(texts):
+    """Vectorized shingle hash arrays per doc.
+
+    Returns (hashes: int64 np.ndarray, starts: int64 np.ndarray) where
+    hashes[starts[i]:starts[i+1]] are doc i's word-3-shingle hashes.
+    Exactly reproduces token_hash_expr(shingles_expr(tokens)): the shingle
+    hash needs only (total length, first char of tok_i, last char of
+    tok_{i+2}) — all computed from one exploded token frame, no per-shingle
+    Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    texts = texts.reset_index(drop=True)
+    toks = texts.str.split(" ").explode()
+    doc_idx = toks.index.to_numpy(dtype=np.int64)
+    tok_len = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+    # ord of first/last char per token (codepoint; '' → 0, matches ascii(''))
+    first_ord = (
+        toks.str[0].map(lambda c: ord(c) if isinstance(c, str) else 0)
+        .fillna(0).to_numpy(dtype=np.int64)
+    )
+    last_ord = (
+        toks.str[-1].map(lambda c: ord(c) if isinstance(c, str) else 0)
+        .fillna(0).to_numpy(dtype=np.int64)
+    )
+    n_docs = len(texts)
+    counts = np.bincount(doc_idx, minlength=n_docs)
+    ends = np.cumsum(counts)
+    starts_tok = ends - counts
+
+    same2 = np.zeros(len(toks), dtype=bool)
+    same2[:-2] = doc_idx[:-2] == doc_idx[2:]  # i and i+2 in same doc
+
+    # full 3-shingles: "t_i t_{i+1} t_{i+2}"
+    sh_len = np.zeros(len(toks), dtype=np.int64)
+    sh_len[:-2] = tok_len[:-2] + tok_len[1:-1] + tok_len[2:] + 2
+    sh_last = np.zeros(len(toks), dtype=np.int64)
+    sh_last[:-2] = last_ord[2:]
+    h3 = (sh_len * KNUTH + first_ord * 40503 + sh_last) % MOD31
+
+    # per-doc shingle list: positions where same2 holds; docs with < 3
+    # tokens get ONE shingle = the whole (≤2-token) text
+    keep = same2.copy()
+    short = counts < 3
+    hashes_parts, starts = [], np.zeros(n_docs + 1, dtype=np.int64)
+    if short.any():
+        # short docs: shingle string == text itself (join of its tokens)
+        text_len = texts.str.len().fillna(0).to_numpy(dtype=np.int64)
+        t_first = first_ord[starts_tok.clip(0)]
+        t_last = np.where(counts > 0, last_ord[(ends - 1).clip(0)], 0)
+        h_short = (text_len * KNUTH + t_first * 40503 + t_last) % MOD31
+    n_sh = np.where(short, 1, np.maximum(counts - 2, 0))
+    starts[1:] = np.cumsum(n_sh)
+    out = np.empty(int(starts[-1]), dtype=np.int64)
+    # scatter full shingles (vectorized): target positions are
+    # starts[doc] + (pos_in_doc) for kept rows
+    pos_in_doc = np.arange(len(toks)) - starts_tok[doc_idx]
+    kept = keep & ~short[doc_idx]
+    out[starts[doc_idx[kept]] + pos_in_doc[kept]] = h3[kept]
+    if short.any():
+        out[starts[np.where(short)[0]]] = h_short[short]
+    return out, starts
+
+
+def minhash_band_keys_series(texts):
+    """texts → list-of-16-band-key-strings per doc (vectorized numpy;
+    bit-identical to band_keys_expr(minhash_sig_expr(...)))."""
+    import numpy as np
+    import pandas as pd
+
+    hashes, starts = _shingle_parts(texts)
+    n_docs = len(starts) - 1
+    A = np.array([a for a, _ in MINHASH_COEFFS], dtype=np.int64)
+    B = np.array([b for _, b in MINHASH_COEFFS], dtype=np.int64)
+    # (n_shingles, 64): h*a+b fits int64 (h < 2^31, a < 2^31)
+    vals = (hashes[:, None] * A[None, :] + B[None, :]) % MERSENNE31
+    nonempty = starts[:-1] < starts[1:]
+    red_starts = starts[:-1][nonempty]
+    sigs = np.full((n_docs, N_MINHASH), 0, dtype=np.int64)
+    if red_starts.size:
+        sigs[nonempty] = np.minimum.reduceat(vals, red_starts, axis=0)[
+            : int(nonempty.sum())
+        ]
+    keys = []
+    sig_str = sigs.astype("U")
+    for d in range(n_docs):
+        row = sig_str[d]
+        keys.append(
+            [
+                f"{band}_" + "_".join(row[band * LSH_ROWS : (band + 1) * LSH_ROWS])
+                for band in range(LSH_BANDS)
+            ]
+        )
+    return pd.Series(keys, dtype="object")
+
+
+def minhash_bands_udf(text):
+    from pyspark.sql import functions as F
+
+    return F.pandas_udf(minhash_band_keys_series, "array<string>")(text)

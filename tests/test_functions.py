@@ -131,3 +131,29 @@ def test_fused_equals_unfused(spark, pages_sdf):
     plain = apply_stages(sample, cfg, fused=False).toPandas().sort_values("url")
     for col in ["lang_pred", "avg_logprob", "ppl", "text_scrubbed", "keep", "scrubbed"]:
         assert fused[col].tolist() == plain[col].tolist(), col
+
+
+def test_minhash_udf_equals_expr(spark, pages_sdf):
+    """Vectorized numpy minhash band keys == column-expression band keys."""
+    from pyspark.sql import functions as F
+
+    from isimip_qa_spark.functions.fingerprint import (
+        band_keys_expr,
+        minhash_bands_udf,
+        minhash_sig_expr,
+        shingles_expr,
+        token_hash_expr,
+    )
+
+    sample = pages_sdf.limit(100)
+    expr_side = sample.select(
+        "url",
+        band_keys_expr(
+            minhash_sig_expr(
+                F.transform(shingles_expr(F.split("text", " ")), token_hash_expr)
+            )
+        ).alias("e"),
+    )
+    udf_side = sample.select("url", minhash_bands_udf(F.col("text")).alias("u"))
+    j = expr_side.join(udf_side, "url")
+    assert j.filter(F.col("e") != F.col("u")).count() == 0
