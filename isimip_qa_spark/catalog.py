@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # --- declared schemas for the driver-provided tables (TESTDATA.md) ---------
@@ -146,3 +147,32 @@ def write_table(df: DataFrame, path: str, mode: str = "append", partition_by=Non
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+# --- CSV artifact twins (reference S8/S9: append-mode series CSVs,
+# /root/reference/isimip_qa/mixins/extractions.py:42-87) -------------------
+
+
+def write_csv_series(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Append-mode CSV sink (the reference's extraction artifact format;
+    kept for interchange — parquet is the real sink)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_csv_series(
+    spark: SparkSession, path: str, schema: T.StructType, time_col: str = "time"
+) -> DataFrame:
+    """CSV source with the reference's tolerant time semantics
+    (extractions.py:67-84): unparseable/out-of-range timestamps → NULL →
+    row dropped, not errored."""
+    str_fields = [
+        T.StructField(f.name, T.StringType())
+        if isinstance(f.dataType, T.TimestampType)
+        else f
+        for f in schema.fields
+    ]
+    df = spark.read.schema(T.StructType(str_fields)).option("header", True).csv(path)
+    for f in schema.fields:
+        if isinstance(f.dataType, T.TimestampType):
+            df = df.withColumn(f.name, F.try_to_timestamp(F.col(f.name)))
+    return df.filter(F.col(time_col).isNotNull())

@@ -1,0 +1,103 @@
+"""Physical-plan quality gates: the properties that carry to 100 TB must be
+visible in `.explain` — pushed filters, pruned columns, broadcast joins,
+partial aggregation, whole-stage codegen. A correctness-green query with a
+full-scan plan is a regression."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_pricing_summary(spark, sf_dir):
+    from isimip_qa_spark.queries.reference_ops import pricing_summary
+
+    plan = plan_of(pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_histogram(spark, sf_dir):
+    """The histogram reads ONE column of the 11-column lineitem."""
+    from isimip_qa_spark.queries.reference_ops import histogram
+
+    plan = plan_of(histogram(spark, sf_dir))
+    assert "ReadSchema: struct<l_extendedprice:double>" in plan
+
+
+def test_broadcast_joins_in_mask_semi_join(spark, sf_dir):
+    from isimip_qa_spark.queries.reference_ops import mask_semi_join
+
+    plan = plan_of(mask_semi_join(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_final_aggregation(spark, sf_dir):
+    """The reference's manual cross-file combine (countmap.py:29-32) must
+    appear as partial→final HashAggregate around one shuffle."""
+    from isimip_qa_spark.queries.reference_ops import countmap
+
+    plan = plan_of(countmap(spark, sf_dir))
+    assert plan.count("HashAggregate") == 2
+    assert "partial_count" in plan
+
+
+def test_rules_stage_has_no_python_udf(spark, sf_dir):
+    """Heuristic rules are pure column exprs — no Python in the plan
+    (north_rule: no per-row Python; BatchEvalPython would be the smell)."""
+    from isimip_qa_spark.queries.webtext import gopher_rules
+
+    plan = plan_of(gopher_rules(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    # codegen'd scan + pruned read (higher-order exprs run outside codegen
+    # but JVM-side; `*(1)` marks the codegen stage)
+    assert "*(1)" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_python_stages_are_arrow_batched(spark, sf_dir):
+    """Model stages run as ArrowEvalPython (vectorized pandas UDF), never
+    row-at-a-time BatchEvalPython."""
+    from isimip_qa_spark.queries.webtext import perplexity
+
+    plan = plan_of(perplexity(spark, sf_dir))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pipeline_is_single_narrow_pass(spark, pages_sdf):
+    """The fused QA DAG: exactly ONE exchange (the deliberate salted
+    repartition) and ONE ArrowEvalPython (the fused UDF) — stages add
+    columns without extra shuffles (the reference's shared scan)."""
+    from isimip_qa_spark.plans.config import QAConfig
+    from isimip_qa_spark.plans.pipeline import apply_stages
+    from isimip_qa_spark.plans.skew import salted_repartition
+
+    cfg = QAConfig()
+    df = salted_repartition(pages_sdf.drop("html"), 4, ["host0.example.org"], 8)
+    plan = plan_of(apply_stages(df, cfg))
+    assert plan.count("Exchange") == 1
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_ann_broadcasts_queries(spark, sf_dir):
+    from isimip_qa_spark.queries.ann import ann_cosine_topk
+
+    plan = plan_of(ann_cosine_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_time_slice_prunes_and_pushes(spark, sf_dir):
+    from isimip_qa_spark.queries.reference_ops import time_slice
+
+    plan = plan_of(time_slice(spark, sf_dir))
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(l_shipdate" in plan
