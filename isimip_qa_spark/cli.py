@@ -1,0 +1,72 @@
+"""CLI entry point (the reference's `isimip-qa` console script,
+/root/reference/isimip_qa/main.py:15-105, recast: paths + scopes + stage
+selection in, resumable Spark job out).
+
+Same code path as jobs/qa_submit.py — that thin file exists so
+`spark-submit --py-files dist/isimip_qa_spark.zip jobs/qa_submit.py` works
+without installing the package.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="isimip-qa-spark")
+    p.add_argument("--input", required=True, help="pages parquet/Iceberg path")
+    p.add_argument("--output", required=True, help="output root (data/metrics/lineage)")
+    p.add_argument("--chunks", type=int, default=8)
+    p.add_argument("--partitions", type=int, default=0, help="0 = default parallelism")
+    p.add_argument("--mode", choices=["chunked", "single_pass"], default="chunked")
+    p.add_argument("--window", default=None, help="warc_ts window lo:hi (dates)")
+    p.add_argument("--langs", default=None, help="cohort langs, comma-separated")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--gen-pages", type=int, default=0,
+        help="generate N synthetic pages at --input first (smoke/bench)",
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .plans import QAConfig, run_qa
+
+    spark = SparkSession.builder.appName("isimip-qa-spark").getOrCreate()
+    if args.gen_pages:
+        from .sources.pages import write_pages
+
+        write_pages(
+            spark,
+            args.input,
+            args.gen_pages,
+            num_partitions=spark.sparkContext.defaultParallelism,
+            n_buckets=args.chunks,
+        )
+
+    window = (
+        tuple(f"{d} 00:00:00" for d in args.window.split(":"))
+        if args.window
+        else None
+    )
+    cfg = QAConfig(
+        n_chunks=args.chunks,
+        n_partitions=args.partitions or spark.sparkContext.defaultParallelism,
+        checkpoint_mode=args.mode,
+        window=window,
+        cohort_langs=tuple(args.langs.split(",")) if args.langs else None,
+    )
+    pages = spark.read.parquet(args.input)
+    summary = run_qa(spark, pages, cfg, args.output, resume=not args.no_resume)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
