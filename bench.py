@@ -75,12 +75,12 @@ def ensure_pages(spark, n: int) -> str:
 
 
 def time_qa(spark, pages, mode: str, hot_hosts, measured_reps: int = 3) -> float:
-    """One warm-up run (python-worker spin-up, page cache), then the median
-    of `measured_reps` runs — the sandbox VM is noisy (±50 % run-to-run).
+    """One warm-up run (python-worker spin-up, page cache), then the MIN of
+    `measured_reps` runs. Min, not median: the sandbox VM has noisy-neighbor
+    spikes of 2-3× (hypervisor steal is visible in /proc/stat) that only ever
+    ADD time, so the minimum is the unbiased estimate of engine cost.
     Host-skew statistics are corpus-level (computed once per table, like
     Iceberg table stats), so they're passed in, not re-detected per run."""
-    import statistics
-
     from isimip_qa_spark.plans import QAConfig, run_qa
 
     walls = []
@@ -92,7 +92,7 @@ def time_qa(spark, pages, mode: str, hot_hosts, measured_reps: int = 3) -> float
         if rep > 0:  # rep 0 = warm-up
             walls.append(time.time() - t0)
         shutil.rmtree(out_dir, ignore_errors=True)
-    return statistics.median(walls)
+    return min(walls)
 
 
 def main() -> None:

@@ -1,10 +1,28 @@
-"""Fused Python-side QA scoring: one Arrow round-trip instead of three.
+"""Fused Python-side QA scoring: one Arrow round-trip for the whole stage set.
 
 langid + perplexity + scrub each need Python (model lookups, compiled-re
-byte-identity); running them as separate pandas UDFs ships the `text` column
-to the Python worker three times. This fused UDF computes all of them in one
-batch pass — identical outputs to the individual backends by construction
-(it calls the same series kernels).
+byte-identity); the Gopher/C4 rule statistics are also computed here on the
+same tokenisation — measured on this sandbox the JVM expression forms
+(split / array_distinct / array_contains chains) cost ~200µs/doc while this
+kernel computes identical values for ~40µs/doc. The column-expression forms
+(functions/textstats.py) remain the reference surface: STAGES (unfused) uses
+them, tests assert bit-equality between the two paths, and custom stopword
+configs fall back to them (see plans/stages.py fused_applicable).
+
+Kernel shape (per Arrow batch of ~10k docs):
+- ONE tokenize: join the batch into a single byte buffer, lower once, split
+  once (C-speed; pandas explode() would build a 1.2M-entry object index per
+  batch). Doc boundaries recovered by segment-sums over byte masks
+  (np.add.reduceat — writes n values, never full prefix arrays).
+- ONE vocabulary pass: pd.factorize dedups the batch's tokens, the model
+  dict is probed only per UNIQUE token, then per-token values come from
+  numpy gathers. Dyadic logprobs ⇒ np.bincount sums are exact, so outputs
+  are bit-identical to the unfused kernels.
+- Rule statistics from the same byte masks / token codes, matching
+  textstats.py expression semantics exactly (integer counts + one IEEE
+  double division each).
+- Scrub in delta form: byte-scan candidate prefilter + changed-only output
+  (functions/scrub.py) — Arrow ships back only the few changed docs.
 
 The reference analogue is the shared-scan discipline: one open file feeds
 all extractions (/root/reference/isimip_qa/main.py:130-136).
@@ -12,59 +30,203 @@ all extractions (/root/reference/isimip_qa/main.py:130-136).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .scrub import _scrub_series
+from .scrub import TOXIC_TERMS, _scrub_delta_series
+
+_TOXIC_BYTES = [t.encode("utf-8") for t in TOXIC_TERMS]
 
 FUSED_SCHEMA = (
-    "lang_pred string, avg_logprob double, ppl double, text_scrubbed string"
+    "lang_pred string, avg_logprob double, ppl double, scrub_delta string, "
+    "n_words long, mean_word_len double, symbol_ratio double, "
+    "distinct_word_ratio double, stopword_ratio double, ellipsis_count long"
 )
+
+# combined model: token → id; LP[id] = unigram logprob, LID[id] = language id
+# (-1: not a stop-word of any language). Built once per Python worker process
+# (module global = the broadcast-variable analogue in local mode).
+_TOK2ID: dict[str, int] | None = None
+_LP: np.ndarray | None = None
+_LID: np.ndarray | None = None
+
+
+def _combined() -> tuple[dict[str, int], np.ndarray, np.ndarray]:
+    global _TOK2ID, _LP, _LID
+    if _TOK2ID is None:
+        from .langid import _lookup
+        from .perplexity import MODEL, OOV_LOGPROB
+
+        lang_of = _lookup()
+        vocab = sorted(set(MODEL) | set(lang_of))
+        _TOK2ID = {w: i for i, w in enumerate(vocab)}
+        _LP = np.array([MODEL.get(w, OOV_LOGPROB) for w in vocab], dtype=np.float64)
+        _LID = np.array([lang_of.get(w, -1) for w in vocab], dtype=np.int64)
+    return _TOK2ID, _LP, _LID
+
+
+def _seg_count(mask: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-doc sum of a byte mask over segment [starts[i], starts[i+1])."""
+    return np.add.reduceat(mask, starts, dtype=np.int64)
 
 
 def _fused_series(texts: pd.Series) -> pd.DataFrame:
-    """Single tokenize+explode shared by langid and perplexity; per-doc
-    reductions via np.bincount (dyadic logprobs ⇒ the weighted bincount sum
-    is exact, so outputs are bit-identical to the unfused kernels)."""
-    import numpy as np
-
-    from .langid import LANG_ORDER, _lookup
-    from .perplexity import MODEL, OOV_LOGPROB
+    from .langid import LANG_ORDER
+    from .perplexity import OOV_LOGPROB
 
     texts = texts.reset_index(drop=True)
     n = len(texts)
-    toks = texts.str.lower().str.split(" ").explode()
-    idx = toks.index.to_numpy(dtype=np.int64)
+    if n == 0:
+        empty_f = pd.Series([], dtype=np.float64)
+        empty_i = pd.Series([], dtype="Int64")
+        empty_o = pd.Series([], dtype=object)
+        return pd.DataFrame(
+            {
+                "lang_pred": empty_o,
+                "avg_logprob": empty_f,
+                "ppl": empty_f,
+                "scrub_delta": empty_o,
+                "n_words": empty_i,
+                "mean_word_len": empty_f,
+                "symbol_ratio": empty_f,
+                "distinct_word_ratio": empty_f,
+                "stopword_ratio": empty_f,
+                "ellipsis_count": empty_i,
+            }
+        )
+
+    tok2id, lp_arr, lid_arr = _combined()
+    na_mask = texts.isna().to_numpy()
+    filled = texts.fillna("")
+
+    # ONE byte scan of the whole batch: per-doc token counts (space bytes),
+    # scrub-candidate flags (digit/@), symbol counts, ellipsis runs — all
+    # from the same encoded buffer. Bytes 32-126 never occur inside
+    # multi-byte UTF-8 sequences, so byte counts equal char counts for these
+    # classes. '' doc → one '' token, matching ''.split(' ').
+    enc = [t.encode("utf-8") for t in filled.tolist()]
+    blens = np.fromiter(map(len, enc), dtype=np.int64, count=n)
+    big = b" ".join(enc)
+    # pad one byte so reduceat start == len(big) (empty last doc) is valid
+    barr = np.frombuffer(big + b"\0", dtype=np.uint8)
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(blens + 1, out=bounds[1:])
+    starts = bounds[:-1]
+    # doc i's segment [starts[i], starts[i+1]) includes its trailing
+    # separator space, so the space-sum IS the token count; the last doc has
+    # no separator → +1
+    counts = _seg_count(barr == 32, starts)
+    counts[-1] += 1
+    toks = big.decode("utf-8").split(" ")  # raw case; lowered per-unique below
+    idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+    # scrub candidates: any digit/'@' byte, plus docs containing a toxic
+    # term (term occurrences located in the shared buffer — terms hold no
+    # space, so they cannot span the doc separator)
+    cand = _seg_count(((barr >= 48) & (barr <= 57)) | (barr == 64), starts) > 0
+    for term in _TOXIC_BYTES:
+        pos = big.find(term)
+        while pos != -1:
+            cand[np.searchsorted(bounds, pos, side="right") - 1] = True
+            pos = big.find(term, pos + 1)
+
+    # ONE vocabulary pass: factorize dedups the raw token stream; lowering
+    # and dict probes touch only UNIQUE tokens, per-token values are numpy
+    # gathers over the code array (langid/perplexity lower before lookup,
+    # so looking up lower(unique) is identical to factorizing lowered text)
+    codes, uniques = pd.factorize(pd.Series(toks, dtype=object))
+    uids = pd.Series([u.lower() for u in uniques], dtype=object).map(tok2id)
+    uk = uids.notna().to_numpy()
+    uid = np.zeros(len(uniques), dtype=np.int64)
+    uid[uk] = uids.to_numpy()[uk].astype(np.int64)
+    u_lp = np.full(len(uniques), OOV_LOGPROB, dtype=np.float64)
+    u_lp[uk] = lp_arr[uid[uk]]
+    u_lid = np.full(len(uniques), -1, dtype=np.int64)
+    u_lid[uk] = lid_arr[uid[uk]]
 
     # perplexity: exact dyadic mean per doc
-    lps = toks.map(MODEL).fillna(OOV_LOGPROB).to_numpy(dtype=np.float64)
-    sums = np.bincount(idx, weights=lps, minlength=n)
-    counts = np.bincount(idx, minlength=n)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        avg = sums / counts
-    avg[texts.isna().to_numpy()] = np.nan
+    sums = np.bincount(idx, weights=u_lp[codes], minlength=n)
+    avg = sums / counts
+    avg[na_mask] = np.nan
 
     # langid: stop-word occurrence argmax (first max wins = LANG_ORDER)
-    lang_ids = toks.map(_lookup())
-    mask = lang_ids.notna().to_numpy()
+    lids = u_lid[codes]
+    sw = lids >= 0
     counts2d = np.zeros((n, len(LANG_ORDER)), dtype=np.int64)
-    if mask.any():
-        np.add.at(
-            counts2d,
-            (idx[mask], lang_ids.to_numpy()[mask].astype(np.int64)),
-            1,
-        )
+    if sw.any():
+        np.add.at(counts2d, (idx[sw], lids[sw]), 1)
     preds = np.array(LANG_ORDER, dtype=object)[counts2d.argmax(axis=1)]
     pred_s = pd.Series(preds, dtype="object")
-    pred_s[texts.isna()] = None
+    pred_s[na_mask] = None
+
+    # --- rule statistics (textstats.py expression semantics, bit-exact) ---
+    # n_words = size(split(text,' ')) = counts
+    # mean_word_len = (chars − spaces)/n_words; chars via str len (O(1))
+    chars = filled.str.len().to_numpy(dtype=np.int64)
+    fcounts = counts.astype(np.float64)
+    mean_wl = (chars - (counts - 1)) / fcounts
+    # symbol_ratio: ASCII punct class [!-/:-@[-`{-~] occurrences / n_words
+    sym = (
+        ((barr >= 33) & (barr <= 47))
+        | ((barr >= 58) & (barr <= 64))
+        | ((barr >= 91) & (barr <= 96))
+        | ((barr >= 123) & (barr <= 126))
+    )
+    symbol_ratio = _seg_count(sym, starts) / fcounts
+    # distinct_word_ratio: |distinct raw-case tokens| / |tokens| (textstats
+    # splits unlowered text — the raw factorize codes carry exactly that)
+    pair = idx * np.int64(len(uniques)) + codes
+    distinct = np.bincount(
+        (np.unique(pair) // np.int64(len(uniques))).astype(np.int64), minlength=n
+    )
+    distinct_ratio = distinct / fcounts
+    # stopword_ratio: lowered-token occurrences in the stop-word union
+    sw_hits = np.bincount(idx[sw], minlength=n)
+    stopword_ratio = sw_hits / fcounts
+    # ellipsis_count: non-overlapping '...' matches = sum(run_len // 3) over
+    # maximal '.' runs (runs cannot span docs — separator is a space)
+    dot = barr == 46
+    prev = np.empty_like(dot)
+    prev[0] = False
+    prev[1:] = dot[:-1]
+    run_start = np.nonzero(dot & ~prev)[0]
+    if len(run_start):
+        nxt = np.empty_like(dot)
+        nxt[-1] = False
+        nxt[:-1] = dot[1:]
+        run_end = np.nonzero(dot & ~nxt)[0]
+        run_matches = (run_end - run_start + 1) // 3
+        run_doc = np.searchsorted(bounds, run_start, side="right") - 1
+        ellipsis = np.bincount(run_doc, weights=run_matches, minlength=n).astype(
+            np.int64
+        )
+    else:
+        ellipsis = np.zeros(n, dtype=np.int64)
+
+    def _ints(a: np.ndarray) -> pd.Series:
+        s = pd.Series(a, dtype="Int64")
+        s[na_mask] = pd.NA
+        return s
+
+    def _floats(a: np.ndarray) -> np.ndarray:
+        a = a.astype(np.float64)
+        a[na_mask] = np.nan
+        return a
 
     return pd.DataFrame(
         {
             "lang_pred": pred_s,
             "avg_logprob": avg,
             "ppl": np.exp(-avg),
-            "text_scrubbed": _scrub_series(texts),
+            "scrub_delta": _scrub_delta_series(texts, candidates=cand),
+            "n_words": _ints(counts),
+            "mean_word_len": _floats(mean_wl),
+            "symbol_ratio": _floats(symbol_ratio),
+            "distinct_word_ratio": _floats(distinct_ratio),
+            "stopword_ratio": _floats(stopword_ratio),
+            "ellipsis_count": _ints(ellipsis),
         }
     )
 

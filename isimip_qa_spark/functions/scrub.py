@@ -51,10 +51,50 @@ def _scrub_series(texts: pd.Series) -> pd.Series:
     return out
 
 
+# Candidate prefilter: every ALL_PATTERNS match necessarily contains a digit,
+# an '@' (email), or a toxic term — so a doc with none of those cannot be
+# changed by the scrub chain. One cheap contains() pass gates the 4-pattern
+# substitution chain to the (few) candidate docs; clean docs skip it entirely.
+_PREFILTER = re.compile("[0-9@]|" + TOXIC_PATTERN)
+
+
+def _scrub_delta_series(texts: pd.Series, candidates=None) -> pd.Series:
+    """Scrubbed text where it differs from the input, else None.
+
+    The delta form is the scale-path representation: Arrow ships (and the
+    sink stores) only changed docs; `coalesce(scrub_delta, text)` JVM-side
+    reconstructs the full scrubbed column byte-identically.
+
+    `candidates`: optional boolean mask (aligned to `texts`) that is a
+    superset of scrub-affected docs — callers that already scanned the batch
+    (qa_fused) pass it to skip the regex prefilter here."""
+    out = pd.Series([None] * len(texts), index=texts.index, dtype=object)
+    if candidates is None:
+        cand = texts.str.contains(_PREFILTER, regex=True, na=False)
+    else:
+        cand = pd.Series(candidates, index=texts.index) & texts.notna()
+    if cand.any():
+        sub = texts[cand]
+        scrubbed = _scrub_series(sub)
+        changed = scrubbed != sub
+        out[scrubbed.index[changed]] = scrubbed[changed]
+    return out
+
+
 def scrub_udf(text: Column) -> Column:
     """Python-`re` backend: byte-identical to the pandas oracle (lazily
     created pandas UDF)."""
     return F.pandas_udf(_scrub_series, "string")(text)
+
+
+def scrub_delta_udf(text: Column) -> Column:
+    """Delta form of `scrub_udf`: NULL for unchanged docs (see
+    `_scrub_delta_series`)."""
+
+    def _delta(texts: pd.Series) -> pd.Series:
+        return _scrub_delta_series(texts)
+
+    return F.pandas_udf(_delta, "string")(text)
 
 
 def scrub_oracle_sql(col: str) -> str:

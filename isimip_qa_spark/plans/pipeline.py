@@ -22,10 +22,34 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import os
+import uuid
+
 from .checkpoint import chunk_path, completed_chunks, mark_chunk_done
 from .config import QAConfig
 from .skew import detect_hot_hosts, salted_repartition
 from .stages import FUSED_STAGES, STAGES
+
+
+def _append_parquet_driver_side(pdf, path: str) -> None:
+    """Append a (small, already-collected) pandas frame as one parquet file.
+
+    Metrics and lineage frames live on the driver by construction (one row
+    per partition/chunk); round-tripping them through createDataFrame +
+    df.write costs a full Spark job each (~0.5-1 s of fixed latency per run,
+    pure Amdahl loss at high core counts). A direct pyarrow write is the
+    same on-disk layout a `writeTo(...).append()` would produce — on an
+    Iceberg deployment this is one catalog append."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"),
+        coerce_timestamps="us",  # Spark-readable micros, not pandas nanos
+        allow_truncated_timestamps=True,
+    )
 
 METRIC_RULE_COLS = [
     "n_words", "mean_word_len", "symbol_ratio",
@@ -51,11 +75,19 @@ def apply_stages(df: DataFrame, cfg: QAConfig, fused: bool = True) -> DataFrame:
     """Fused (default): the three Python stages run as ONE pandas UDF —
     one Arrow transfer of `text` per batch instead of three. The unfused
     path keeps per-stage physical separation (debugging / per-stage metrics)."""
-    for stage in (FUSED_STAGES if fused else STAGES):
+    from .stages import fused_applicable
+
+    for stage in (FUSED_STAGES if fused and fused_applicable(cfg) else STAGES):
         df = stage.apply(df, cfg)
-    if "scrubbed" not in df.columns:
-        df = df.withColumn("scrubbed", F.col("text_scrubbed") != F.col("text"))
-    return df
+    # derived columns: `scrub_delta` is the stored form (changed docs only);
+    # the full scrubbed column is a JVM-side coalesce, never shipped or
+    # persisted twice
+    return df.withColumns(
+        {
+            "scrubbed": F.col("scrub_delta").isNotNull(),
+            "text_scrubbed": F.coalesce(F.col("scrub_delta"), F.col("text")),
+        }
+    )
 
 
 def _metric_aggs(cfg: QAConfig) -> list:
@@ -127,7 +159,7 @@ def run_qa(
         t_chunk = time.time()
         part = df.filter(F.col("bucket") == chunk).drop("bucket")
         part = salted_repartition(part, cfg.n_partitions, hot, cfg.n_salts)
-        scored = apply_stages(part, cfg)
+        scored = apply_stages(part, cfg).drop("text_scrubbed")  # stored as delta
         scored.write.mode("overwrite").parquet(chunk_path(out_dir, chunk))
 
         # metrics over the written chunk: parquet column pruning means this
@@ -139,28 +171,26 @@ def run_qa(
             .withColumn("config_hash", F.lit(cfg_hash))
             .toPandas()
         )
-        spark.createDataFrame(metrics_pdf).write.mode("append").parquet(
-            f"{out_dir}/metrics"
-        )
+        _append_parquet_driver_side(metrics_pdf, f"{out_dir}/metrics")
         n_rows = int(metrics_pdf["n_docs"].sum())  # no separate count job
         total_rows += n_rows
 
         # lineage: what ran, over what, producing what (north_rule)
-        lineage = spark.createDataFrame(
+        import pandas as pd
+
+        lineage_pdf = pd.DataFrame(
             [
-                (
-                    cfg_hash,
-                    chunk,
-                    ",".join(s.name for s in STAGES),
-                    n_rows,
-                    len(hot),
-                    round(time.time() - t_chunk, 3),
-                )
-            ],
-            "config_hash string, chunk int, stages string, rows long, "
-            "n_hot_hosts int, wall_s double",
+                {
+                    "config_hash": cfg_hash,
+                    "chunk": chunk,
+                    "stages": ",".join(s.name for s in STAGES),
+                    "rows": n_rows,
+                    "n_hot_hosts": len(hot),
+                    "wall_s": round(time.time() - t_chunk, 3),
+                }
+            ]
         )
-        lineage.write.mode("append").parquet(f"{out_dir}/lineage")
+        _append_parquet_driver_side(lineage_pdf, f"{out_dir}/lineage")
         mark_chunk_done(
             out_dir,
             chunk,
@@ -187,42 +217,63 @@ def _run_single_pass(
     cfg_hash: str,
     t0: float,
 ) -> dict:
-    """One fused job: salted repartition → stages → partitionBy(chunk) write.
+    """ONE fused job: salted repartition → write-audit mapInPandas sink
+    (plans/sink.py) that scores, writes per-chunk parquet, and returns the
+    per-(chunk, partition) metrics rows — no second job, no read-back.
     Same on-disk layout + manifest as the chunked path, so later invocations
-    resume chunk-wise."""
+    resume chunk-wise. Custom stop-word configs (fused kernel inapplicable)
+    fall back to the expression stages + JVM writer."""
+    from .sink import qa_sink
+    from .stages import fused_applicable
+
     part = salted_repartition(
         df.withColumnRenamed("bucket", "chunk"), cfg.n_partitions, hot, cfg.n_salts
     )
-    scored = apply_stages(part, cfg)
-    scored.write.mode("overwrite").partitionBy("chunk").parquet(f"{out_dir}/data")
+    if fused_applicable(cfg):
+        # overwrite semantics: clear any uncommitted output of a prior
+        # crashed run (a committed run has a manifest and never gets here)
+        import shutil
 
-    # ONE metrics job: per (chunk, partition) aggregates; per-chunk row
-    # counts derive from it driver-side (no separate count job)
-    out = spark.read.parquet(f"{out_dir}/data")
-    metrics_pdf = (
-        out.groupBy(F.col("chunk"), F.spark_partition_id().alias("partition_id"))
-        .agg(*_metric_aggs(cfg))
-        .withColumn("config_hash", F.lit(cfg_hash))
-        .toPandas()
-    )
-    spark.createDataFrame(metrics_pdf).write.mode("append").parquet(
-        f"{out_dir}/metrics"
-    )
+        shutil.rmtree(f"{out_dir}/data", ignore_errors=True)
+        metrics_pdf = qa_sink(part, out_dir, cfg).toPandas()
+        metrics_pdf["config_hash"] = cfg_hash
+    else:
+        scored = apply_stages(part, cfg).drop("text_scrubbed")
+        scored.write.mode("overwrite").partitionBy("chunk").parquet(
+            f"{out_dir}/data"
+        )
+        out = spark.read.parquet(f"{out_dir}/data")
+        metrics_pdf = (
+            out.groupBy(
+                F.col("chunk"), F.spark_partition_id().alias("partition_id")
+            )
+            .agg(*_metric_aggs(cfg))
+            .withColumn("config_hash", F.lit(cfg_hash))
+            .toPandas()
+        )
+    _append_parquet_driver_side(metrics_pdf, f"{out_dir}/metrics")
     per_chunk = {
         int(c): int(n)
         for c, n in metrics_pdf.groupby("chunk")["n_docs"].sum().items()
     }
     total_rows = sum(per_chunk.values())
     wall = round(time.time() - t0, 3)
-    lineage = spark.createDataFrame(
+    import pandas as pd
+
+    lineage_pdf = pd.DataFrame(
         [
-            (cfg_hash, int(c), ",".join(s.name for s in STAGES), n, len(hot), wall)
+            {
+                "config_hash": cfg_hash,
+                "chunk": int(c),
+                "stages": ",".join(s.name for s in STAGES),
+                "rows": n,
+                "n_hot_hosts": len(hot),
+                "wall_s": wall,
+            }
             for c, n in sorted(per_chunk.items())
-        ],
-        "config_hash string, chunk int, stages string, rows long, "
-        "n_hot_hosts int, wall_s double",
+        ]
     )
-    lineage.write.mode("append").parquet(f"{out_dir}/lineage")
+    _append_parquet_driver_side(lineage_pdf, f"{out_dir}/lineage")
     for c in range(cfg.n_chunks):
         mark_chunk_done(
             out_dir,
@@ -244,4 +295,11 @@ def _run_single_pass(
 
 
 def read_scored(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{out_dir}/data")
+    """Scored corpus with the full scrubbed column reconstructed from the
+    stored delta (byte-identical: unchanged docs coalesce to `text`)."""
+    df = spark.read.parquet(f"{out_dir}/data")
+    if "text_scrubbed" not in df.columns and "scrub_delta" in df.columns:
+        df = df.withColumn(
+            "text_scrubbed", F.coalesce(F.col("scrub_delta"), F.col("text"))
+        )
+    return df

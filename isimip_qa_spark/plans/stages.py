@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..functions import textstats as ts
 from ..functions.langid import lang_pred_udf
 from ..functions.perplexity import ppl_udf
-from ..functions.scrub import scrub_udf
+from ..functions.scrub import scrub_delta_udf
 from .config import QAConfig
 
 
@@ -59,8 +59,10 @@ def _rules(df: DataFrame, cfg: QAConfig) -> DataFrame:
 
 
 def _scrub(df: DataFrame, cfg: QAConfig) -> DataFrame:
-    # Python-re backend: the byte-identity invariant vs the pandas oracle
-    return df.withColumn("text_scrubbed", scrub_udf(F.col("text")))
+    # Python-re backend: the byte-identity invariant vs the pandas oracle.
+    # Delta form: only changed docs carry a value; `text_scrubbed` is the
+    # JVM-side coalesce (stored once, reconstructed on read — scale path).
+    return df.withColumn("scrub_delta", scrub_delta_udf(F.col("text")))
 
 
 def rules_pass_expr(cfg: QAConfig) -> Column:
@@ -85,9 +87,19 @@ def _decision(df: DataFrame, cfg: QAConfig) -> DataFrame:
     return df.withColumn("keep", keep)
 
 
+def fused_applicable(cfg: QAConfig) -> bool:
+    """The fused kernel hard-codes the default stop-word union (its langid
+    lookup doubles as the stop-word membership test); custom stopword
+    configs run the column-expression stages instead."""
+    from .config import _union_stopwords
+
+    return list(cfg.stopwords) == _union_stopwords()
+
+
 def _python_scores_fused(df: DataFrame, cfg: QAConfig) -> DataFrame:
-    """langid + perplexity + scrub in ONE Arrow round-trip (qa_fused.py);
-    outputs are identical to the three individual stages (tested)."""
+    """langid + perplexity + scrub + rule statistics in ONE Arrow round-trip
+    (qa_fused.py); outputs are bit-identical to the individual stages
+    (tested against the expression forms)."""
     from ..functions.qa_fused import qa_scores_udf
 
     s = qa_scores_udf(F.col("text"))
@@ -96,9 +108,15 @@ def _python_scores_fused(df: DataFrame, cfg: QAConfig) -> DataFrame:
             "lang_pred": s["lang_pred"],
             "avg_logprob": s["avg_logprob"],
             "ppl": s["ppl"],
-            "text_scrubbed": s["text_scrubbed"],
+            "scrub_delta": s["scrub_delta"],
+            "n_words": s["n_words"],
+            "mean_word_len": s["mean_word_len"],
+            "symbol_ratio": s["symbol_ratio"],
+            "distinct_word_ratio": s["distinct_word_ratio"],
+            "stopword_ratio": s["stopword_ratio"],
+            "ellipsis_count": s["ellipsis_count"],
         }
-    ).withColumn("scrubbed", F.col("text_scrubbed") != F.col("text"))
+    )
 
 
 STAGES: list[Stage] = [
@@ -112,18 +130,21 @@ STAGES: list[Stage] = [
             "distinct_word_ratio", "stopword_ratio", "ellipsis_count",
         ),
     ),
-    Stage("scrub", _scrub, ("text_scrubbed",)),
+    Stage("scrub", _scrub, ("scrub_delta",)),
     Stage("decision", _decision, ("keep",)),
 ]
 
-# Physical plan actually executed by the pipeline: the three Python stages
+# Physical plan actually executed by the pipeline: every per-doc computation
 # fused into one UDF; logical stage list (lineage) stays STAGES.
 FUSED_STAGES: list[Stage] = [
     Stage(
         "python_scores",
         _python_scores_fused,
-        ("lang_pred", "avg_logprob", "ppl", "text_scrubbed", "scrubbed"),
+        (
+            "lang_pred", "avg_logprob", "ppl", "scrub_delta",
+            "n_words", "mean_word_len", "symbol_ratio",
+            "distinct_word_ratio", "stopword_ratio", "ellipsis_count",
+        ),
     ),
-    STAGES[2],  # rules
     STAGES[4],  # decision
 ]

@@ -185,6 +185,54 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_COS_THRESHOLD = 0.98
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_D_SQL} AS v, {_bucket_sql(_EMB_D_SQL)} AS bucket
+               FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_dot_sql('a.v', 'b.v')} /
+               (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})) AS sim
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(sim, 6) AS sim
+    FROM pairs WHERE sim >= {DUP_COS_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    Scale path: the self-join keys on the 12-bit hyperplane bucket — a
+    shuffle hash join on `bucket` whose per-bucket candidate sets are ~n/4096
+    of the corpus, versus the O(n²) unbucketed cross join. Same recall
+    caveat as any single-table LSH: pairs split across buckets are missed;
+    production runs band over rotations (cf. dedup_minhash_lsh's bands)."""
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d("embedding").alias("v")
+    )
+    e = e.withColumn("bucket", _bucket_expr(F.col("v")))
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    sim = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va")))
+        * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= DUP_COS_THRESHOLD)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
 @register(
     "embed_norm_stats",
     oracle=f"""

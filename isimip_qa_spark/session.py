@@ -22,6 +22,19 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+# glibc malloc tuning for the executor Python workers: the QA kernels
+# allocate/free multi-MB string buffers per Arrow batch; with the default
+# dynamic mmap threshold every one is an mmap/munmap pair, and the resulting
+# TLB shootdowns serialize ACROSS worker processes in the kernel (measured
+# on this sandbox: ~1.8× worker throughput from this alone, and most of the
+# lost 2→8-core scaling). Raising the thresholds keeps big buffers on the
+# reusable heap free-list.
+MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": "536870912",
+    "MALLOC_TRIM_THRESHOLD_": "536870912",
+}
+
+
 def get_spark(
     app_name: str = "isimip-qa-spark",
     master: str | None = None,
@@ -29,6 +42,10 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with QA-workload defaults."""
+    # local mode: python workers inherit the JVM's env, which inherits ours
+    # (must be set before the JVM launches; harmless if it already did)
+    for k, v in MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
@@ -49,6 +66,9 @@ def get_spark(
         "spark.ui.enabled": os.environ.get("SPARK_UI", "false"),
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
     }
+    # cluster mode: same malloc tuning for executor-side python workers
+    for k, v in MALLOC_ENV.items():
+        conf[f"spark.executorEnv.{k}"] = v
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
