@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "embed_norm_stats",
 ]
@@ -117,12 +119,20 @@ def main() -> None:
 
     if os.environ.get("BENCH_QA_ONLY") != "1":
         qs = ent.queries()
+        # warm the JVM (JIT, codegen paths, parquet footers) so the first
+        # timed query doesn't absorb ~8s of one-time session cost
+        qs[BENCH_QUERIES[0]](spark, SF_DIR).count()
         per_query: dict[str, float] = {}
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            n = qs[name](spark, SF_DIR).count()  # force full execution
-            per_query[name] = round(time.time() - t0, 3)
-            assert n >= 0
+            # min of 2: the sandbox's noisy-neighbor spikes only add time
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                n = qs[name](spark, SF_DIR).count()  # force full execution
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+                assert n >= 0
+            per_query[name] = round(best, 3)
         result["queries"] = per_query
         result["queries_total_sec"] = round(sum(per_query.values()), 3)
 

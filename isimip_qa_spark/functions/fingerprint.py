@@ -109,13 +109,18 @@ def minhash_sig_expr(shingle_hashes: Column) -> Column:
 
 
 def band_keys_expr(sig: Column) -> Column:
-    """LSH band keys: array of 'band_idx:h1_h2_h3_h4' strings."""
+    """LSH band keys: one int64 per band, folded from (band, h1..h4) as
+    k ← (k·KNUTH + h_r) mod 2³¹. Every intermediate stays < 2⁶³ (ANSI-mode
+    safe) and the math is identical in numpy. Numeric keys shuffle 8 bytes
+    instead of ~50-char strings — the join key the 10^12-doc path wants.
+    The 2³¹ key space admits rare cross-band collisions (~n_keys²/2³² false
+    candidates); the exact-Jaccard verification step removes them."""
     keys = []
     for band in range(LSH_BANDS):
-        parts = [F.lit(str(band))] + [
-            sig[band * LSH_ROWS + r].cast("string") for r in range(LSH_ROWS)
-        ]
-        keys.append(F.concat_ws("_", *parts))
+        k = F.lit(band).cast("long")
+        for r in range(LSH_ROWS):
+            k = (k * F.lit(KNUTH) + sig[band * LSH_ROWS + r]) % F.lit(MOD31)
+        keys.append(k + F.lit(band * MOD31).cast("long"))  # band-disjoint
     return F.array(*keys)
 
 
@@ -171,15 +176,16 @@ def _shingle_parts(texts):
     toks = texts.str.split(" ").explode()
     doc_idx = toks.index.to_numpy(dtype=np.int64)
     tok_len = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
-    # ord of first/last char per token (codepoint; '' → 0, matches ascii(''))
-    first_ord = (
-        toks.str[0].map(lambda c: ord(c) if isinstance(c, str) else 0)
-        .fillna(0).to_numpy(dtype=np.int64)
-    )
-    last_ord = (
-        toks.str[-1].map(lambda c: ord(c) if isinstance(c, str) else 0)
-        .fillna(0).to_numpy(dtype=np.int64)
-    )
+
+    # ord of first/last char per token (codepoint; '' → 0, matches ascii('')):
+    # slice to 1-char strings, then view the fixed-width U1 buffer as uint32
+    # codepoints — no per-token Python
+    def _ords(s: pd.Series) -> np.ndarray:
+        arr = s.fillna("").to_numpy(dtype="U1")
+        return arr.view(np.uint32).astype(np.int64)
+
+    first_ord = _ords(toks.str.slice(0, 1))
+    last_ord = _ords(toks.str.slice(-1))
     n_docs = len(texts)
     counts = np.bincount(doc_idx, minlength=n_docs)
     ends = np.cumsum(counts)
@@ -238,20 +244,18 @@ def minhash_band_keys_series(texts):
         sigs[nonempty] = np.minimum.reduceat(vals, red_starts, axis=0)[
             : int(nonempty.sum())
         ]
-    keys = []
-    sig_str = sigs.astype("U")
-    for d in range(n_docs):
-        row = sig_str[d]
-        keys.append(
-            [
-                f"{band}_" + "_".join(row[band * LSH_ROWS : (band + 1) * LSH_ROWS])
-                for band in range(LSH_BANDS)
-            ]
-        )
-    return pd.Series(keys, dtype="object")
+    # numeric band keys, vectorized: same overflow-free modular fold as
+    # band_keys_expr (intermediates < 2^63, bit-identical to the JVM)
+    sig3 = sigs.reshape(n_docs, LSH_BANDS, LSH_ROWS)
+    bands = np.arange(LSH_BANDS, dtype=np.int64)
+    keys = np.tile(bands, (n_docs, 1))
+    for r in range(LSH_ROWS):
+        keys = (keys * np.int64(KNUTH) + sig3[:, :, r]) % np.int64(MOD31)
+    keys = keys + bands[None, :] * np.int64(MOD31)  # band-disjoint
+    return pd.Series(list(keys), dtype="object")
 
 
 def minhash_bands_udf(text):
     from pyspark.sql import functions as F
 
-    return F.pandas_udf(minhash_band_keys_series, "array<string>")(text)
+    return F.pandas_udf(minhash_band_keys_series, "array<long>")(text)
