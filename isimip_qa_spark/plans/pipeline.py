@@ -159,18 +159,32 @@ def run_qa(
         t_chunk = time.time()
         part = df.filter(F.col("bucket") == chunk).drop("bucket")
         part = salted_repartition(part, cfg.n_partitions, hot, cfg.n_salts)
-        scored = apply_stages(part, cfg).drop("text_scrubbed")  # stored as delta
-        scored.write.mode("overwrite").parquet(chunk_path(out_dir, chunk))
+        from .stages import fused_applicable
 
-        # metrics over the written chunk: parquet column pruning means this
-        # job reads only the small metric columns, never text/text_scrubbed
-        out = spark.read.parquet(chunk_path(out_dir, chunk))
-        metrics_pdf = (
-            partition_metrics(out, cfg)
-            .withColumn("chunk", F.lit(chunk))
-            .withColumn("config_hash", F.lit(cfg_hash))
-            .toPandas()
-        )
+        if fused_applicable(cfg):
+            # write-audit sink, scoped to this chunk: ONE job scores,
+            # writes chunk=K files, and returns the partition metrics
+            from .sink import qa_sink
+
+            import shutil
+
+            shutil.rmtree(chunk_path(out_dir, chunk), ignore_errors=True)
+            metrics_pdf = qa_sink(
+                part.withColumn("chunk", F.lit(chunk)), out_dir, cfg
+            ).toPandas()
+            metrics_pdf["config_hash"] = cfg_hash
+        else:
+            scored = apply_stages(part, cfg).drop("text_scrubbed")  # delta form
+            scored.write.mode("overwrite").parquet(chunk_path(out_dir, chunk))
+            # metrics over the written chunk: parquet column pruning means
+            # this job reads only small metric columns, never the text
+            out = spark.read.parquet(chunk_path(out_dir, chunk))
+            metrics_pdf = (
+                partition_metrics(out, cfg)
+                .withColumn("chunk", F.lit(chunk))
+                .withColumn("config_hash", F.lit(cfg_hash))
+                .toPandas()
+            )
         _append_parquet_driver_side(metrics_pdf, f"{out_dir}/metrics")
         n_rows = int(metrics_pdf["n_docs"].sum())  # no separate count job
         total_rows += n_rows
