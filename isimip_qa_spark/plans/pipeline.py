@@ -136,6 +136,19 @@ def run_qa(
         # column-pruning discipline: text stages must never scan html bytes
         df = df.drop("html")
 
+    # fully-resumed run: nothing to compute (and no need to scan for skew
+    # stats) — the reference's exists()-skip, main.py:126-128
+    done_early = completed_chunks(out_dir) if resume else set()
+    if len(done_early) == cfg.n_chunks:
+        return {
+            "chunks_run": [],
+            "chunks_skipped": sorted(done_early),
+            "rows": 0,
+            "wall_s": round(time.time() - t0, 3),
+            "hot_hosts": hot_hosts or [],
+            "config_hash": cfg.config_hash(),
+        }
+
     # host skew statistics: pass precomputed stats (corpus-level, computed
     # once per table — the Iceberg-table-statistics analogue) or detect now
     hot = hot_hosts if hot_hosts is not None else detect_hot_hosts(df, cfg.hot_host_frac)
