@@ -24,25 +24,34 @@ def host_expr(url_col: str = "url"):
     return F.parse_url(F.col(url_col), F.lit("HOST"))
 
 
-def detect_hot_hosts(df: DataFrame, frac: float = 0.05, url_col: str = "url") -> list[str]:
-    """Hosts holding more than `frac` of all rows — ONE job (total from a
-    window over the host counts, not a second scan). The hot list is tiny by
-    construction; at 100 TB run this on a sample or partition statistics."""
-    from pyspark.sql import Window
+def hot_host_counts(df: DataFrame, frac: float = 0.05, url_col: str = "url") -> DataFrame:
+    """Hosts holding more than `frac` of all rows, as a (lazy) DataFrame.
 
+    The total comes from a broadcast 1-row scalar aggregate crossJoined back
+    onto the host counts — NOT an unpartitioned window, which would funnel
+    every (host, n) row through a single task (a web crawl has 10⁷-10⁸
+    hosts; the skew-*fixing* job must not itself have a single-task stage).
+    Both sides reuse one shuffled host aggregate; the scalar side is a
+    partial→final agg, so nothing bigger than one row moves to one task.
+    Asserted in tests/test_plans.py (no `Exchange SinglePartition` feeding a
+    Window)."""
     counts = (
         df.select(host_expr(url_col).alias("host"))
         .groupBy("host")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    total = F.sum("n").over(Window.partitionBy())
-    rows = (
-        counts.withColumn("tot", total)
+    total = counts.agg(F.sum("n").alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
         .filter(F.col("n") > F.col("tot") * frac)
         .select("host")
-        .collect()
     )
-    return [r["host"] for r in rows]
+
+
+def detect_hot_hosts(df: DataFrame, frac: float = 0.05, url_col: str = "url") -> list[str]:
+    """Collect the (tiny-by-construction) hot-host list; at 100 TB run this
+    on a sample or table partition statistics instead of a full scan."""
+    return [r["host"] for r in hot_host_counts(df, frac, url_col).collect()]
 
 
 def salted_repartition(

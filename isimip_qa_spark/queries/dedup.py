@@ -29,9 +29,14 @@ from . import register
 JACCARD_THRESHOLD = 0.5
 
 # ---------------------------------------------------------------------------
-# Exact dedup: rank within identical-text groups. At 100 TB: group on
-# xxhash64(text) first (shuffles 8 bytes/row), verify text equality within
-# groups; here text-as-key directly for oracle clarity.
+# Exact dedup: rank within identical-text groups. Scale shape: the ONE
+# exchange is keyed on xxhash64(text) — 8 bytes/row cross the shuffle, never
+# the document bytes. In-group text verification happens locally: the window
+# is partitioned by (th, text), and hashpartitioning(th) already satisfies
+# ClusteredDistribution([th, text]) (equal (th, text) ⇒ equal th ⇒ same
+# partition), so Catalyst inserts no second exchange — two distinct texts
+# colliding on the 64-bit hash still rank/count independently, they just
+# land in the same shuffle partition. Asserted in tests/test_plans.py.
 # ---------------------------------------------------------------------------
 
 
@@ -45,8 +50,11 @@ JACCARD_THRESHOLD = 0.5
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("text")
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "th", F.xxhash64("text")
+    )
+    d = d.repartition(F.col("th"))  # the only exchange: 8-byte key
+    w = Window.partitionBy("th", "text")
     return d.select(
         "doc_id",
         F.row_number().over(w.orderBy("doc_id")).alias("dup_rank"),

@@ -73,7 +73,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize",
     oracle="""
     WITH g AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                        > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_sess
@@ -81,7 +81,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, ts,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
       FROM g
     )
@@ -99,7 +99,10 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
         1,
     ).otherwise(0)
-    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # event_id tie-break matches the gap detector's order — without it,
+    # duplicate (user_id, ts) rows make the session assignment
+    # nondeterministic (latent even when fixture data is duplicate-free)
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     s = ev.withColumn("new_sess", new_sess).withColumn(

@@ -96,6 +96,34 @@ def test_ann_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_dedup_exact_shuffles_hash_not_text(spark, sf_dir):
+    """The exact-dedup exchange key is xxhash64(text) — 8 bytes/row — never
+    the document text itself; and in-group text verification adds no second
+    exchange (hashpartitioning(th) satisfies the window's clustering)."""
+    import re
+
+    from isimip_qa_spark.queries.dedup import dedup_exact
+
+    plan = plan_of(dedup_exact(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    (exch_line,) = [l for l in plan.splitlines() if "Exchange" in l]
+    assert "hashpartitioning(th#" in exch_line
+    assert not re.search(r"hashpartitioning\(text#", exch_line)
+
+
+def test_hot_host_detection_has_no_single_task_stage(spark, pages_sdf):
+    """The skew-stats job must not itself funnel all host counts through one
+    task: total-row count comes from a broadcast scalar agg, not an
+    unpartitioned window."""
+    from isimip_qa_spark.plans.skew import hot_host_counts
+
+    plan = plan_of(hot_host_counts(pages_sdf, 0.05))
+    assert "Window" not in plan
+    # the only SinglePartition exchange allowed is the 1-row scalar total
+    # feeding the broadcast, which sits under a BroadcastExchange/partial agg
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_time_slice_prunes_and_pushes(spark, sf_dir):
     from isimip_qa_spark.queries.reference_ops import time_slice
 
