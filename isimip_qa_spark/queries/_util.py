@@ -18,3 +18,18 @@ def cents_sql(col: str) -> str:
 
 def r6(col: Column) -> Column:
     return F.round(col, 6)
+
+
+def spread(df, *cols):
+    """Give a compute-heavy map stage cluster-wide parallelism.
+
+    A 100 TB table scan yields far more splits than cores, so this is a
+    no-op there (guard: input partitions >= defaultParallelism). On small
+    inputs — one parquet file ⇒ one split — per-row kernels (shingling,
+    minhash signatures, hyperplane buckets) would otherwise run in a single
+    task; one cheap exchange spreads them across all cores."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)

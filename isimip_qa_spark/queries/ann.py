@@ -20,6 +20,15 @@ from pyspark.sql import functions as F
 
 from ..catalog import read_table
 from . import register
+from ._util import spread
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with the vector widened to double, spread across cores
+    (the hyperplane-bucket expression is compute-heavy per row)."""
+    return spread(read_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", _vec_d("embedding").alias("v")
+    )
 
 N_QUERIES = 5  # vec_id 0..4 are the query vectors
 TOP_K = 5
@@ -27,16 +36,23 @@ N_PLANES = 12
 DIM = 64
 
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes(rotation: int = 0) -> list[list[float]]:
     """Fixed pseudo-random hyperplanes, dyadic components (exact literals):
-    w[p][d] = ((p*DIM + d) * 2654435761 mod 4096) / 2048 - 1  ∈ [-1, 1)."""
+    w[p][d] = (((r*P + p)*DIM + d) * 2654435761 mod 4096) / 2048 - 1 ∈ [-1, 1).
+    `rotation` selects an independent table of planes (rotation 0 is the
+    single-table path's plane set)."""
     return [
-        [(((p * DIM + d) * 2654435761) % 4096) / 2048.0 - 1.0 for d in range(DIM)]
+        [
+            ((((rotation * N_PLANES + p) * DIM + d) * 2654435761) % 4096) / 2048.0
+            - 1.0
+            for d in range(DIM)
+        ]
         for p in range(N_PLANES)
     ]
 
 
 HYPERPLANES = _hyperplanes()
+N_ROTATIONS = 4  # multi-probe tables for the near-dup pair query
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -88,9 +104,7 @@ _EMB_D_SQL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _vec_d("embedding").alias("v")
-    )
+    e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -116,17 +130,18 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_sql(vec: str) -> str:
+def _bucket_sql(vec: str, rotation: int = 0) -> str:
     bits = []
-    for p, plane in enumerate(HYPERPLANES):
+    for p, plane in enumerate(_hyperplanes(rotation)):
         d = _dot_sql(vec, _plane_sql(plane))
         bits.append(f"(CASE WHEN {d} > 0 THEN {2**p} ELSE 0 END)")
-    return "(" + " + ".join(bits) + ")::BIGINT"
+    # rotation-disjoint key space (cf. band-disjoint minhash band keys)
+    return f"({' + '.join(bits)} + {rotation * (1 << N_PLANES)})::BIGINT"
 
 
-def _bucket_expr(vec: Column) -> Column:
-    val = F.lit(0).cast("long")
-    for p, plane in enumerate(HYPERPLANES):
+def _bucket_expr(vec: Column, rotation: int = 0) -> Column:
+    val = F.lit(rotation * (1 << N_PLANES)).cast("long")
+    for p, plane in enumerate(_hyperplanes(rotation)):
         d = _dot(vec, F.lit(plane))
         val = val + F.when(d > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0))
     return val
@@ -154,9 +169,7 @@ def _bucket_expr(vec: Column) -> Column:
     """,
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _vec_d("embedding").alias("v")
-    )
+    e = _emb(spark, sf_dir)
     e = e.withColumn("bucket", _bucket_expr(F.col("v")))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -210,10 +223,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle hash join on `bucket` whose per-bucket candidate sets are ~n/4096
     of the corpus, versus the O(n²) unbucketed cross join. Same recall
     caveat as any single-table LSH: pairs split across buckets are missed;
-    production runs band over rotations (cf. dedup_minhash_lsh's bands)."""
-    e = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _vec_d("embedding").alias("v")
-    )
+    `dedup_embedding_cosine_multiprobe` below bands over rotations to close
+    that gap and is the production path."""
+    e = _emb(spark, sf_dir)
     e = e.withColumn("bucket", _bucket_expr(F.col("v")))
     a = e.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
@@ -222,6 +234,71 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
     )
     pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    sim = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va")))
+        * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= DUP_COS_THRESHOLD)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _multiprobe_keys_sql(vec: str) -> str:
+    return "[" + ", ".join(_bucket_sql(vec, r) for r in range(N_ROTATIONS)) + "]"
+
+
+@register(
+    "dedup_embedding_cosine_multiprobe",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_D_SQL} AS v FROM embeddings),
+    k AS (SELECT vec_id, unnest({_multiprobe_keys_sql('v')}) AS k FROM e),
+    c AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM k a JOIN k b ON a.k = b.k AND a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT id_a, id_b,
+             {_dot_sql('ea.v', 'eb.v')} /
+               (sqrt({_dot_sql('ea.v', 'ea.v')}) * sqrt({_dot_sql('eb.v', 'eb.v')})) AS sim
+      FROM c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, round(sim, 6) AS sim
+    FROM pairs WHERE sim >= {DUP_COS_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with multi-table (rotated) hyperplane LSH.
+
+    Single-table LSH misses any near-pair whose vectors straddle one of the
+    12 hyperplanes (probability ≈ 1 − (1 − θ/π)¹² per pair — material even
+    for near-identical vectors). This path bands over N_ROTATIONS
+    independent plane tables (cf. dedup_minhash_lsh's bands): candidates
+    are pairs sharing a bucket in ANY rotation, missed only with
+    probability miss₁^R. The shuffle still carries only (8-byte key,
+    vec_id) — R keys per row — and exact cosine verification of the
+    deduplicated candidates removes false positives, so extra rotations
+    cost candidates, never precision. tests/test_ann_multiprobe.py plants a
+    straddling pair and asserts single-table misses it while this catches
+    it and matches brute force."""
+    e = _emb(spark, sf_dir)
+    keyed = e.select(
+        "vec_id",
+        F.explode(
+            F.array(*[_bucket_expr(F.col("v"), r) for r in range(N_ROTATIONS)])
+        ).alias("k"),
+    )
+    cands = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), F.col("x.k") == F.col("y.k"))
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = cands.join(a, "id_a").join(b, "id_b")
     sim = _dot(F.col("va"), F.col("vb")) / (
         F.sqrt(_dot(F.col("va"), F.col("va")))
         * F.sqrt(_dot(F.col("vb"), F.col("vb")))

@@ -25,6 +25,7 @@ from ..functions.fingerprint import (
     token_hash_sql,
 )
 from . import register
+from ._util import spread
 
 JACCARD_THRESHOLD = 0.5
 
@@ -85,7 +86,7 @@ def _jaccard_pairs_sql(threshold: float) -> str:
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = spread(read_table(spark, sf_dir, "documents"), "doc_id")
     return d.select(
         "doc_id", shingles_expr(ts.tokens_expr(F.col("text"))).alias("sh")
     )
@@ -105,28 +106,76 @@ def _verify_pairs(cands: DataFrame, shingled: DataFrame) -> DataFrame:
     )
 
 
-# n-gram Jaccard near-dup, count-based and EXACT: explode each doc's
-# (distinct) shingle hashes, self-join on the 8-byte hash, and count shared
-# shingles per pair — |A∩B| from the groupBy, |A∪B| = |A|+|B|−|A∩B| from
-# per-doc sizes. No shingle arrays in the shuffle, no array_intersect on
-# candidate rows, and exact recall (any pair with J>0 shares a key), unlike
-# sampled-shingle blocking (which measurably dropped pairs at sf0.1) or
-# LSH (probabilistic). This is the shape that survives 10^12 docs: two
-# shuffles on (int64 key) and (int64 pair), both pure hash aggregations.
-# A 64-bit hash collision merging two distinct shingles perturbs a count
-# with probability ~|shingles|²/2^64 — negligible, and the exact DuckDB
-# oracle would catch it.
-@register("dedup_ngram_jaccard", oracle=_jaccard_pairs_sql(JACCARD_THRESHOLD))
+DF_CAP = 64  # stop-shingle cut: drop shingles appearing in > DF_CAP docs
+
+
+def _jaccard_pairs_capped_sql(threshold: float, cap: int) -> str:
+    """DuckDB twin of the DF-capped path — the cap is applied identically
+    (drop shingles with document frequency > cap; per-doc sizes recomputed
+    over kept shingles), so Spark and oracle stay exact twins."""
+    sh = shingles_sql("string_split(text, ' ')")
+    return f"""
+    WITH d AS (SELECT doc_id, {sh} AS sh FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    keep_s AS (SELECT s FROM (SELECT s, count(*) AS c FROM e GROUP BY s)
+               WHERE c <= {cap}),
+    kept AS (SELECT e.doc_id, e.s FROM e JOIN keep_s USING (s)),
+    sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    p AS (SELECT doc_a, doc_b,
+                 inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+          FROM i JOIN sz sa ON sa.doc_id = i.doc_a
+                 JOIN sz sb ON sb.doc_id = i.doc_b)
+    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+    FROM p WHERE jaccard >= {threshold}
+    """
+
+
+# n-gram Jaccard near-dup, count-based: explode each doc's (distinct)
+# shingle hashes, self-join on the 8-byte hash, and count shared shingles
+# per pair — |A∩B| from the groupBy, |A∪B| = |A|+|B|−|A∩B| from per-doc
+# sizes. No shingle arrays in the shuffle, no array_intersect on candidate
+# rows.
+#
+# Scale guard — stop-shingle DF cap: a shingle shared by m docs emits m²
+# join rows pre-aggregation, so without a cap a boilerplate 3-gram ("all
+# rights reserved") that appears in a large fraction of a crawl makes the
+# self-join quadratic. Shingles with document frequency > DF_CAP are
+# dropped before the join (standard DF-cap for blocking keys), bounding the
+# per-key fan-out at DF_CAP². Recall contract: Jaccard is then measured
+# over *informative* shingles only — a pair is missed only if every shingle
+# it shares is boilerplate (df > DF_CAP); for such pairs the MinHash-LSH
+# path below remains the detector. At the tested scales the cap is inert
+# (max df at sf0.01 is 7), so the oracle — which applies the identical cap
+# — also equals the uncapped ground truth there.
+#
+# Cost shape at 10^12 docs: one hash agg on int64 keys for the df table, a
+# broadcast anti-join against the (tiny-by-construction) stop-shingle set,
+# one 8-byte-key window exchange for per-doc sizes, then the bounded
+# self-join + pair hash agg. A 64-bit hash collision merging two shingles
+# perturbs a count with probability ~|shingles|²/2^64 — negligible, and the
+# exact DuckDB oracle would catch it.
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_jaccard_pairs_capped_sql(JACCARD_THRESHOLD, DF_CAP),
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = _shingled(spark, sf_dir)  # sh is array_distinct per doc
     keyed = shingled.select(
         "doc_id",
-        F.size("sh").alias("n"),
         F.explode(F.transform(F.col("sh"), lambda s: F.xxhash64(s))).alias("k"),
     )
+    dfreq = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
+    hot = dfreq.filter(F.col("df") > DF_CAP).select("k")
+    kept = keyed.join(F.broadcast(hot), "k", "left_anti")
+    kept = kept.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
     inter = (
-        keyed.alias("x")
-        .join(keyed.alias("y"), F.col("x.k") == F.col("y.k"))
+        kept.alias("x")
+        .join(kept.alias("y"), F.col("x.k") == F.col("y.k"))
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .groupBy(
             F.col("x.doc_id").alias("doc_a"),
@@ -154,7 +203,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.fingerprint import minhash_bands_udf
 
-    d = read_table(spark, sf_dir, "documents")
+    d = spread(read_table(spark, sf_dir, "documents"), "doc_id")
     shingled = _shingled(spark, sf_dir)
     sig = d.select("doc_id", minhash_bands_udf(F.col("text")).alias("bands"))
     keyed = sig.select("doc_id", F.explode("bands").alias("k"))

@@ -1,0 +1,106 @@
+"""Multi-table (rotated) embedding LSH recall: a planted near-duplicate
+pair that straddles a rotation-0 hyperplane bucket must be missed by the
+single-table query and caught by the multiprobe query, which must equal the
+brute-force ground truth on the fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from isimip_qa_spark.queries.ann import (
+    DIM,
+    DUP_COS_THRESHOLD,
+    N_PLANES,
+    N_ROTATIONS,
+    _hyperplanes,
+)
+
+
+def _np_bucket(v: np.ndarray, rotation: int) -> int:
+    planes = np.array(_hyperplanes(rotation))  # (P, DIM)
+    dots = planes @ v
+    return int(sum((1 << p) for p in range(N_PLANES) if dots[p] > 0)) + rotation * (
+        1 << N_PLANES
+    )
+
+
+def _make_fixture():
+    """Deterministic corpus: 200 well-separated fillers + one near-dup pair
+    whose members land in different rotation-0 buckets but share a bucket in
+    some rotation >= 1."""
+    rng = np.random.default_rng(7)
+    fillers = rng.normal(size=(200, DIM))
+
+    planted = None
+    for _ in range(500):
+        base = rng.normal(size=DIM)
+        twin = base + 1e-3 * rng.normal(size=DIM)
+        b0 = [_np_bucket(v, 0) for v in (base, twin)]
+        if b0[0] == b0[1]:
+            continue
+        shared = [
+            r
+            for r in range(1, N_ROTATIONS)
+            if _np_bucket(base, r) == _np_bucket(twin, r)
+        ]
+        if shared:
+            planted = (base, twin)
+            break
+    assert planted is not None, "no straddling near-pair found; change the seed"
+    vecs = np.vstack([fillers, planted[0], planted[1]]).astype(np.float32)
+    pair_ids = (len(fillers), len(fillers) + 1)
+    return vecs, pair_ids
+
+
+def _ground_truth_pairs(vecs: np.ndarray) -> set[tuple[int, int]]:
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    sims = (v @ v.T) / np.outer(norms, norms)
+    n = len(v)
+    return {
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if sims[i, j] >= DUP_COS_THRESHOLD
+    }
+
+
+@pytest.fixture(scope="module")
+def emb_dir(spark, tmp_path_factory):
+    vecs, pair_ids = _make_fixture()
+    d = str(tmp_path_factory.mktemp("emb"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(table, f"{d}/embeddings.parquet")
+    return d, vecs, pair_ids
+
+
+def test_multiprobe_catches_straddling_pair(spark, emb_dir):
+    from isimip_qa_spark.queries.ann import (
+        dedup_embedding_cosine,
+        dedup_embedding_cosine_multiprobe,
+    )
+
+    d, vecs, (ia, ib) = emb_dir
+    single = {
+        (r.id_a, r.id_b) for r in dedup_embedding_cosine(spark, d).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b)
+        for r in dedup_embedding_cosine_multiprobe(spark, d).collect()
+    }
+    assert (ia, ib) not in single  # the single-table recall gap, demonstrated
+    assert (ia, ib) in multi  # closed by banding over rotations
+    assert multi == _ground_truth_pairs(vecs)  # full recall on the fixture
+    assert single <= multi  # rotations only ever add candidates
