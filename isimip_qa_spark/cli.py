@@ -23,6 +23,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", choices=["chunked", "single_pass"], default="chunked")
     p.add_argument("--window", default=None, help="warc_ts window lo:hi (dates)")
     p.add_argument("--langs", default=None, help="cohort langs, comma-separated")
+    # multi-scope grid (reference planning loop, main.py:115-128): several
+    # windows/cohorts semicolon-separated; each grid cell is one resumable
+    # run under --output/<window>/<cohort>/<config-hash>/
+    p.add_argument(
+        "--windows", default=None,
+        help="grid: windows 'lo:hi;lo:hi;all' (overrides --window)",
+    )
+    p.add_argument(
+        "--cohorts", default=None,
+        help="grid: cohorts 'en,es;fr;all' (overrides --langs)",
+    )
     p.add_argument("--no-resume", action="store_true")
     p.add_argument(
         "--gen-pages", type=int, default=0,
@@ -63,7 +74,25 @@ def main(argv=None) -> int:
         cohort_langs=tuple(args.langs.split(",")) if args.langs else None,
     )
     pages = spark.read.parquet(args.input)
-    summary = run_qa(spark, pages, cfg, args.output, resume=not args.no_resume)
+    if args.windows or args.cohorts:
+        from .plans import run_grid
+
+        def _win(tok):
+            if tok in ("all", ""):
+                return None
+            return tuple(f"{d} 00:00:00" for d in tok.split(":"))
+
+        def _coh(tok):
+            return None if tok in ("all", "") else tuple(tok.split(","))
+
+        windows = [_win(t) for t in (args.windows or "all").split(";")]
+        cohorts = [_coh(t) for t in (args.cohorts or "all").split(";")]
+        summary = run_grid(
+            spark, pages, cfg, windows, cohorts, args.output,
+            resume=not args.no_resume,
+        )
+    else:
+        summary = run_qa(spark, pages, cfg, args.output, resume=not args.no_resume)
     print(json.dumps(summary))
     return 0
 

@@ -9,6 +9,7 @@ main.py:130-136); artifacts = parquet metrics/lineage tables.
 """
 
 from .config import QAConfig
+from .grid import plan_grid, run_grid
 from .pipeline import run_qa
 
-__all__ = ["QAConfig", "run_qa"]
+__all__ = ["QAConfig", "run_qa", "plan_grid", "run_grid"]
