@@ -28,9 +28,23 @@ expression path writes keep=NULL; both count as "not kept" in every metric.
 from __future__ import annotations
 
 import os
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+
+def _round4_half_up(x: float) -> float:
+    """Twin of Spark's F.round(col, 4): Spark rounds
+    BigDecimal.valueOf(double) — i.e. the SHORTEST decimal representation
+    (Double.toString), not the exact binary expansion — with HALF_UP.
+    Python's repr() is the same shortest round-trip decimal, so
+    Decimal(repr(x)) + ROUND_HALF_UP reproduces it exactly (verified against
+    F.round at .x5 boundaries in tests/test_sink_rounding.py, where both
+    Python round() [HALF_EVEN] and Decimal(x) [exact-binary] differ)."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
 
 METRICS_SCHEMA = (
     "chunk int, partition_id int, n_docs long, n_keep long, avg_ppl double, "
@@ -128,6 +142,19 @@ def qa_sink(scored_input: DataFrame, out_dir: str, cfg) -> DataFrame:
                 if w is None:
                     cdir = os.path.join(data_dir, f"chunk={ck}")
                     os.makedirs(cdir, exist_ok=True)
+                    # sweep tmp files abandoned by failed/killed prior
+                    # attempts of THIS partition (a crashed task never
+                    # reaches its os.replace; reruns must not accumulate
+                    # hidden .tmp files on disk)
+                    import glob
+
+                    for stale in glob.glob(
+                        os.path.join(cdir, f".part-{pid:05d}-*.tmp")
+                    ):
+                        try:
+                            os.remove(stale)
+                        except OSError:
+                            pass
                     tmp = os.path.join(cdir, f".part-{pid:05d}-{attempt}.tmp")
                     final = os.path.join(cdir, f"part-{pid:05d}.parquet")
                     w = (pq.ParquetWriter(tmp, schema, compression="zstd"), tmp, final)
@@ -171,10 +198,10 @@ def qa_sink(scored_input: DataFrame, out_dir: str, cfg) -> DataFrame:
                     "partition_id": pid,
                     "n_docs": a["n_docs"],
                     "n_keep": a["n_keep"],
-                    "avg_ppl": round(a["ppl_sum"] / a["ppl_n"], 4)
+                    "avg_ppl": _round4_half_up(a["ppl_sum"] / a["ppl_n"])
                     if a["ppl_n"]
                     else None,
-                    "avg_words": round(a["w_sum"] / a["w_n"], 4)
+                    "avg_words": _round4_half_up(a["w_sum"] / a["w_n"])
                     if a["w_n"]
                     else None,
                     "trip_short": a["trip_short"],

@@ -99,14 +99,132 @@ def _text_for(doc_id: int) -> tuple[str, str]:
     return " ".join(spam), lang
 
 
+_SYM = ["#@!%", "$$$", "^&*(", "<<>>"]
+_PII_SUFFIX = (
+    " reach us at " + PII_EMAIL + " or call " + PII_PHONE + " server " + PII_IP
+)
+_ELL = " ... ... ..."
+
+
+def _build_tbl() -> tuple[list[str], dict]:
+    """Global slot-string table: every word a generated doc can contain —
+    per language: content words, stop words, their ellipsis variants — plus
+    symbol junk and the PII/dup tail strings (tails start life as join
+    slots, so they carry no leading space). ~150 entries total; a doc is
+    then just a list of int codes joined through this table."""
+    tbl: list[str] = []
+    offs: dict = {}
+    for lang in LANG_ORDER:
+        cw, sw = _CONTENT[lang], LANG_STOPWORDS[lang]
+        offs[lang] = {"c": len(tbl), "s": len(tbl) + len(cw)}
+        tbl += cw
+        tbl += sw
+        # ellipsis variants sit exactly len(cw)+len(sw) above their base —
+        # one constant shift upgrades any base code to its variant
+        tbl += [w + _ELL for w in cw]
+        tbl += [w + _ELL for w in sw]
+    offs["sym"] = len(tbl)
+    tbl += _SYM
+    offs["pii"] = len(tbl)
+    tbl.append(_PII_SUFFIX[1:])
+    offs["dup"] = len(tbl)
+    tbl += [f"extra token{d}" for d in range(7)]
+    return tbl, offs
+
+
+_TBL, _TBL_OFFS = _build_tbl()
+_N_SHORT = MIN_WORDS - 20
+_MAX_SLOTS = CLEAN_WORDS + 2  # words + optional PII tail + optional dup tail
+
+
+def _texts_vec(ids: np.ndarray) -> tuple[list[str], list[str]]:
+    """Vectorized twin of `_text_for` over an id array — byte-identical
+    (asserted in tests/test_pages_source.py). The per-word LCG runs as
+    in-place numpy ops over all docs at once, every word pick is an integer
+    code into the module-level slot table, and the only per-row Python is
+    one C-level `' '.join(map(table.__getitem__, codes))` per doc."""
+    ids = np.asarray(ids, dtype=np.int64)
+    m = len(ids)
+    if m == 0:
+        return [], []
+    bucket = ids % 100
+    is_dup = bucket == 97  # (id-1) % 100 == 96 < 97 always → a real dup
+    eff = np.where(is_dup, ids - 1, ids)  # row whose words we generate
+    eb = eff % 100
+    eb = np.where(bucket >= 98, 0, eb)  # 98/99: dup-of-dup → clean self
+
+    is_short = (eb >= 70) & (eb < 75)
+    is_symbol = (eb >= 75) & (eb < 80)
+    is_repeat = (eb >= 80) & (eb < 85)
+    is_nostop = (eb >= 85) & (eb < 90)
+    is_ellip = (eb >= 90) & (eb < 94)
+    has_pii = (eb >= 94) & (eb <= 96)
+
+    # per-word LCG, vectorized across docs: h_0 = id*KNUTH mod 2^31, then
+    # h ← h*1103515245 + 12345 mod 2^31 once per word (same sequence
+    # regardless of stop/content choice — exactly _words_for's consumption;
+    # mod 2^31 of a non-negative value == bitwise AND, done in place)
+    hmat = np.empty((m, CLEAN_WORDS), dtype=np.int64)
+    h = (eff * KNUTH) % (1 << 31)
+    for i in range(CLEAN_WORDS):
+        np.multiply(h, 1103515245, out=h)
+        np.add(h, 12345, out=h)
+        np.bitwise_and(h, (1 << 31) - 1, out=h)
+        hmat[:, i] = h
+
+    lang_idx = (eff // 100) % len(LANG_ORDER)
+    codes = np.empty((m, _MAX_SLOTS), dtype=np.int64)
+    stop_cols = np.arange(0, CLEAN_WORDS, 4)
+    even_cols = np.arange(0, CLEAN_WORDS, 2)
+    odd_cols = np.arange(1, CLEAN_WORDS, 2)
+    for li, lang in enumerate(LANG_ORDER):
+        rows = np.nonzero(lang_idx == li)[0]
+        if not rows.size:
+            continue
+        o = _TBL_OFFS[lang]
+        ncw, nsw = len(_CONTENT[lang]), len(LANG_STOPWORDS[lang])
+        codes[rows, :CLEAN_WORDS] = o["c"] + hmat[rows] % ncw
+        s4 = rows[~is_nostop[rows]]  # stop_every=4 rows of this language
+        if s4.size:
+            ix = np.ix_(s4, stop_cols)
+            codes[ix] = o["s"] + hmat[ix] % nsw
+        rep = rows[is_repeat[rows]]
+        if rep.size:  # constant [stop0, content0] loop
+            codes[np.ix_(rep, even_cols)] = o["s"]
+            codes[np.ix_(rep, odd_cols)] = o["c"]
+        ell = rows[is_ellip[rows]]
+        if ell.size:  # upgrade every 10th word to its ellipsis variant
+            codes[np.ix_(ell, np.arange(0, CLEAN_WORDS, 10))] += ncw + nsw
+
+    sym_rows = np.nonzero(is_symbol)[0]
+    if sym_rows.size:  # odd positions become constant symbol junk
+        for residue in (1, 3):
+            cols = np.arange(residue, CLEAN_WORDS, 4)
+            codes[np.ix_(sym_rows, cols)] = _TBL_OFFS["sym"] + residue
+
+    n_slots = np.full(m, CLEAN_WORDS, dtype=np.int64)
+    n_slots[is_short] = _N_SHORT
+    codes[has_pii, CLEAN_WORDS] = _TBL_OFFS["pii"]
+    n_slots[has_pii] = CLEAN_WORDS + 1
+    # dup rows duplicate a PII doc (eb == 96), so their PII tail is set
+    codes[is_dup, CLEAN_WORDS + 1] = _TBL_OFFS["dup"] + ids[is_dup] % 7
+    n_slots[is_dup] = CLEAN_WORDS + 2
+
+    g = _TBL.__getitem__
+    texts = [
+        " ".join(map(g, row[:n]))
+        for row, n in zip(codes.tolist(), n_slots.tolist())
+    ]
+    # reported lang: _text_for returns the base row's language for dups —
+    # id and id-1 share the 100-block, so eff's language IS id's language
+    langs = [LANG_ORDER[i] for i in lang_idx]
+    return texts, langs
+
+
 def pages_pandas(ids: np.ndarray) -> pd.DataFrame:
     """The pure generator: id array → pages DataFrame (oracle + Spark)."""
     ids = np.asarray(ids, dtype=np.int64)
-    texts, langs = [], []
-    for i in ids:
-        t, lg = _text_for(int(i))
-        texts.append(t)
-        langs.append(lg)
+    texts, langs = _texts_vec(ids)
     host_hash = (ids * KNUTH) % N_HOSTS
     host = np.where(ids % HOT_HOST_EVERY == 0, 0, 1 + host_hash % (N_HOSTS - 1))
     urls = [

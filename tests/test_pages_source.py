@@ -37,6 +37,32 @@ def test_planted_buckets(pages_pdf):
         assert len(a & c) / len(a | c) > 0.8
 
 
+def test_vectorized_generator_matches_reference_loop():
+    """`_texts_vec` (the production generator) is byte-identical to the
+    per-id reference `_text_for` across every bucket × language combination
+    (ids 0..2999 cover all 100 buckets in all 5 language blocks × 2)."""
+    from isimip_qa_spark.sources.pages import _text_for, _texts_vec
+
+    ids = np.arange(3000)
+    texts, langs = _texts_vec(ids)
+    for i in ids:
+        t_ref, l_ref = _text_for(int(i))
+        assert texts[i] == t_ref, f"text mismatch at id {i} (bucket {i % 100})"
+        assert langs[i] == l_ref, f"lang mismatch at id {i}"
+
+
+def test_vectorized_generator_arbitrary_id_slices():
+    """Row content is f(id) only: a shuffled, gappy id slice produces the
+    same texts as the same ids inside a contiguous range."""
+    from isimip_qa_spark.sources.pages import _texts_vec
+
+    full_texts, full_langs = _texts_vec(np.arange(1000))
+    sel = np.array([997, 3, 514, 96, 97, 98, 250])
+    texts, langs = _texts_vec(sel)
+    assert texts == [full_texts[i] for i in sel]
+    assert langs == [full_langs[i] for i in sel]
+
+
 def test_host_skew(pages_pdf):
     hosts = pages_pdf["url"].str.extract(r"https://(host\d+)")[0]
     frac0 = (hosts == "host0").mean()
