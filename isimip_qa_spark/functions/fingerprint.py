@@ -226,16 +226,29 @@ def _shingle_parts(texts):
 
 
 def minhash_band_keys_series(texts):
-    """texts → list-of-16-band-key-strings per doc (vectorized numpy;
+    """texts → list-of-16-band-keys per doc (vectorized numpy;
     bit-identical to band_keys_expr(minhash_sig_expr(...)))."""
-    import numpy as np
     import pandas as pd
 
     hashes, starts = _shingle_parts(texts)
+    keys = _bands_from_parts(hashes, starts)
+    return pd.Series(list(keys), dtype="object")
+
+
+def minhash_bands_udf(text):
+    from pyspark.sql import functions as F
+
+    return F.pandas_udf(minhash_band_keys_series, "array<long>")(text)
+
+
+def _bands_from_parts(hashes, starts):
+    """(shingle hashes, segment starts) → (n_docs, LSH_BANDS) band keys —
+    the shared tail of minhash_band_keys_series."""
+    import numpy as np
+
     n_docs = len(starts) - 1
     A = np.array([a for a, _ in MINHASH_COEFFS], dtype=np.int64)
     B = np.array([b for _, b in MINHASH_COEFFS], dtype=np.int64)
-    # (n_shingles, 64): h*a+b fits int64 (h < 2^31, a < 2^31)
     vals = (hashes[:, None] * A[None, :] + B[None, :]) % MERSENNE31
     nonempty = starts[:-1] < starts[1:]
     red_starts = starts[:-1][nonempty]
@@ -244,18 +257,17 @@ def minhash_band_keys_series(texts):
         sigs[nonempty] = np.minimum.reduceat(vals, red_starts, axis=0)[
             : int(nonempty.sum())
         ]
-    # numeric band keys, vectorized: same overflow-free modular fold as
-    # band_keys_expr (intermediates < 2^63, bit-identical to the JVM)
     sig3 = sigs.reshape(n_docs, LSH_BANDS, LSH_ROWS)
     bands = np.arange(LSH_BANDS, dtype=np.int64)
     keys = np.tile(bands, (n_docs, 1))
     for r in range(LSH_ROWS):
         keys = (keys * np.int64(KNUTH) + sig3[:, :, r]) % np.int64(MOD31)
-    keys = keys + bands[None, :] * np.int64(MOD31)  # band-disjoint
-    return pd.Series(list(keys), dtype="object")
+    return keys + bands[None, :] * np.int64(MOD31)
 
 
-def minhash_bands_udf(text):
-    from pyspark.sql import functions as F
-
-    return F.pandas_udf(minhash_band_keys_series, "array<long>")(text)
+# NOTE: a combined bands+shingle-set kernel (one pass emitting both) was
+# tried and removed: the structural 31-bit token hash that makes minhash
+# signatures oracle-reproducible collides on same-(length, first, last)
+# shingles often enough to shift SET CARDINALITIES, so Jaccard computed
+# over those hash sets fails the exact oracle. Verification instead uses
+# JVM-side xxhash64 shingle sets (queries/dedup.py:dedup_minhash_lsh).

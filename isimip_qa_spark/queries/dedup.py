@@ -16,14 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import read_table
 from ..functions import textstats as ts
-from ..functions.fingerprint import (
-    band_keys_expr,
-    minhash_sig_expr,
-    shingles_expr,
-    shingles_sql,
-    token_hash_expr,
-    token_hash_sql,
-)
+from ..functions.fingerprint import shingles_expr, shingles_sql
 from . import register
 from ._util import spread
 
@@ -89,20 +82,6 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(read_table(spark, sf_dir, "documents"), "doc_id")
     return d.select(
         "doc_id", shingles_expr(ts.tokens_expr(F.col("text"))).alias("sh")
-    )
-
-
-def _verify_pairs(cands: DataFrame, shingled: DataFrame) -> DataFrame:
-    """Exact Jaccard on candidate pairs; emits (doc_a, doc_b, jaccard)."""
-    a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    joined = cands.join(a, "doc_a").join(b, "doc_b")
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    return (
-        joined.filter(jac >= JACCARD_THRESHOLD)  # filter pre-round (oracle parity)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -196,16 +175,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # MinHash + LSH banding: 64 minhashes, 16 bands × 4 rows; candidates =
 # same band key; exact-verify. The scalable near-dup path for 10^12 docs
-# (shuffle carries only (band_key, doc_id)). Signatures come from the
-# vectorized numpy kernel (minhash_bands_udf) — bit-identical to the
-# column-expression path (tested) and ~20× faster.
+# (the candidate shuffle carries only (band_key, doc_id)). Band keys come
+# from the vectorized numpy kernel (minhash_bands_udf) — bit-identical to
+# the column-expression path (tested) and ~20× faster. Verification joins
+# ship each candidate doc's DISTINCT xxhash64(shingle) set — compact int64
+# arrays (~8 bytes/shingle) instead of shingle strings, and
+# array_intersect compares longs. Jaccard over 64-bit hash sets equals
+# Jaccard over shingle-string sets modulo ~|shingles|²/2^64 collisions —
+# the same accepted tolerance as dedup_ngram_jaccard, and the exact DuckDB
+# oracle (O(n²) string Jaccard) verifies it holds. (A 31-bit structural
+# token hash was tried here and REJECTED: same-(length,first,last) shingles
+# collide often enough to shift set cardinalities and fail the oracle.)
 @register("dedup_minhash_lsh", oracle=_jaccard_pairs_sql(JACCARD_THRESHOLD))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.fingerprint import minhash_bands_udf
 
     d = spread(read_table(spark, sf_dir, "documents"), "doc_id")
-    shingled = _shingled(spark, sf_dir)
     sig = d.select("doc_id", minhash_bands_udf(F.col("text")).alias("bands"))
+    sh64 = _shingled(spark, sf_dir).select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
+        ).alias("sh"),
+    )
     keyed = sig.select("doc_id", F.explode("bands").alias("k"))
     cands = (
         keyed.alias("x")
@@ -216,4 +208,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return _verify_pairs(cands, shingled)
+    a = sh64.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh64.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = inter / union
+    return joined.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )

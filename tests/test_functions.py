@@ -157,3 +157,4 @@ def test_minhash_udf_equals_expr(spark, pages_sdf):
     udf_side = sample.select("url", minhash_bands_udf(F.col("text")).alias("u"))
     j = expr_side.join(udf_side, "url")
     assert j.filter(F.col("e") != F.col("u")).count() == 0
+
