@@ -51,3 +51,68 @@ def read_manifest(out_dir: str) -> dict[int, dict]:
         with open(os.path.join(manifest_dir(out_dir), f"chunk_{c}.json")) as f:
             out[c] = json.load(f)
     return out
+
+
+# --- shared-cache artifact fetch (reference: fetch a completed extraction
+# over HTTP and skip compute — /root/reference/isimip_qa/mixins/
+# extractions.py:16-28, gated at main.py:127) --------------------------------
+
+
+def _is_url(base: str) -> bool:
+    return base.startswith(("http://", "https://", "file://"))
+
+
+def _fetch_bytes(base: str, rel: str) -> bytes:
+    if _is_url(base):
+        import urllib.request
+
+        with urllib.request.urlopen(f"{base.rstrip('/')}/{rel}") as r:
+            return r.read()
+    with open(os.path.join(base, rel), "rb") as f:
+        return f.read()
+
+
+def fetch_chunk(out_dir: str, chunk: int, cache_base: str, config_hash: str) -> bool:
+    """Fetch one completed chunk (data files + manifest) from a shared
+    artifact cache whose layout mirrors an out_dir (another run's output, a
+    mounted shared volume, or an HTTP server in front of one). Returns True
+    iff the chunk was committed locally — the caller then skips its compute.
+
+    Identity guard: the cached manifest's config_hash must equal ours (the
+    reference keys artifacts by extraction identity, extractions.py:33-40);
+    manifests without a file list (older runs) are not fetchable. Files are
+    written tmp-then-rename and the local manifest LAST, so a fetch killed
+    mid-way leaves no committed chunk. HTTP cannot list directories — the
+    manifest's `files` field is the listing."""
+    try:
+        man = json.loads(
+            _fetch_bytes(cache_base, f"_manifest/chunk_{chunk}.json")
+        )
+    except Exception:
+        return False
+    if man.get("config_hash") != config_hash or "files" not in man:
+        return False
+    cdir = chunk_path(out_dir, chunk)
+    os.makedirs(cdir, exist_ok=True)
+    try:
+        for fn in man["files"]:
+            data = _fetch_bytes(cache_base, f"data/chunk={chunk}/{fn}")
+            tmp = os.path.join(cdir, f".{fn}.fetch.tmp")
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, os.path.join(cdir, fn))
+    except Exception:
+        return False
+    mark_chunk_done(out_dir, chunk, dict(man, fetched_from=cache_base))
+    return True
+
+
+def chunk_files(out_dir: str, chunk: int) -> list[str]:
+    """Committed data files of a chunk (recorded in its manifest so remote
+    fetchers need no directory listing)."""
+    cdir = chunk_path(out_dir, chunk)
+    if not os.path.isdir(cdir):
+        return []
+    return sorted(
+        f for f in os.listdir(cdir) if not f.startswith(".") and not f.endswith(".tmp")
+    )

@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 import os
 import uuid
 
-from .checkpoint import chunk_path, completed_chunks, mark_chunk_done
+from .checkpoint import (
+    chunk_files,
+    chunk_path,
+    completed_chunks,
+    fetch_chunk,
+    mark_chunk_done,
+)
 from .config import QAConfig
 from .skew import detect_hot_hosts, salted_repartition
 from .stages import FUSED_STAGES, STAGES
@@ -123,12 +129,18 @@ def run_qa(
     resume: bool = True,
     with_html: bool = False,
     hot_hosts: list[str] | None = None,
+    cache_base: str | None = None,
 ) -> dict:
     """Run the full QA DAG with chunked checkpointing.
 
-    Returns a summary dict: chunks run/skipped, rows, wall seconds.
+    Returns a summary dict: chunks run/skipped/fetched, rows, wall seconds.
     The scored corpus lands in out_dir/data/chunk=K/; per-partition metrics
     in out_dir/metrics/; lineage rows in out_dir/lineage/.
+
+    `cache_base`: optional shared artifact cache (path or http(s)/file URL
+    mirroring an out_dir layout) — completed chunks with a matching config
+    hash are fetched instead of computed (the reference's remote-fetch skip,
+    mixins/extractions.py:16-28).
     """
     t0 = time.time()
     df = scope_filter(pages, cfg)
@@ -136,13 +148,23 @@ def run_qa(
         # column-pruning discipline: text stages must never scan html bytes
         df = df.drop("html")
 
+    done_early = completed_chunks(out_dir) if resume else set()
+    fetched: list[int] = []
+    if resume and cache_base and len(done_early) < cfg.n_chunks:
+        for c in range(cfg.n_chunks):
+            if c not in done_early and fetch_chunk(
+                out_dir, c, cache_base, cfg.config_hash()
+            ):
+                fetched.append(c)
+        done_early = completed_chunks(out_dir)
+
     # fully-resumed run: nothing to compute (and no need to scan for skew
     # stats) — the reference's exists()-skip, main.py:126-128
-    done_early = completed_chunks(out_dir) if resume else set()
     if len(done_early) == cfg.n_chunks:
         return {
             "chunks_run": [],
-            "chunks_skipped": sorted(done_early),
+            "chunks_skipped": sorted(set(done_early) - set(fetched)),
+            "chunks_fetched": fetched,
             "rows": 0,
             "wall_s": round(time.time() - t0, 3),
             "hot_hosts": hot_hosts or [],
@@ -221,13 +243,19 @@ def run_qa(
         mark_chunk_done(
             out_dir,
             chunk,
-            {"rows": n_rows, "config_hash": cfg_hash, "stages": [s.name for s in STAGES]},
+            {
+                "rows": n_rows,
+                "config_hash": cfg_hash,
+                "stages": [s.name for s in STAGES],
+                "files": chunk_files(out_dir, chunk),
+            },
         )
         ran.append(chunk)
 
     return {
         "chunks_run": ran,
         "chunks_skipped": skipped,
+        "chunks_fetched": fetched,
         "rows": total_rows,
         "wall_s": round(time.time() - t0, 3),
         "hot_hosts": hot,
@@ -309,11 +337,13 @@ def _run_single_pass(
                 "rows": per_chunk.get(c, 0),
                 "config_hash": cfg_hash,
                 "stages": [s.name for s in STAGES],
+                "files": chunk_files(out_dir, c),
             },
         )
     return {
         "chunks_run": list(range(cfg.n_chunks)),
         "chunks_skipped": [],
+        "chunks_fetched": [],
         "rows": total_rows,
         "wall_s": wall,
         "hot_hosts": hot,
