@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_multiprobe",
     "ann_cosine_topk",
     "embed_norm_stats",
 ]

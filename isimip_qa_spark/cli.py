@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--no-resume", action="store_true")
     p.add_argument(
+        "--cache", default=None,
+        help="shared artifact cache (path or URL of a prior run's output): "
+        "completed chunks with a matching config hash are fetched, not "
+        "recomputed",
+    )
+    p.add_argument(
         "--gen-pages", type=int, default=0,
         help="generate N synthetic pages at --input first (smoke/bench)",
     )
@@ -89,10 +95,13 @@ def main(argv=None) -> int:
         cohorts = [_coh(t) for t in (args.cohorts or "all").split(";")]
         summary = run_grid(
             spark, pages, cfg, windows, cohorts, args.output,
-            resume=not args.no_resume,
+            resume=not args.no_resume, cache_base=args.cache,
         )
     else:
-        summary = run_qa(spark, pages, cfg, args.output, resume=not args.no_resume)
+        summary = run_qa(
+            spark, pages, cfg, args.output,
+            resume=not args.no_resume, cache_base=args.cache,
+        )
     print(json.dumps(summary))
     return 0
 

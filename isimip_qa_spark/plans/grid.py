@@ -83,11 +83,16 @@ def run_grid(
     out_root: str,
     resume: bool = True,
     hot_hosts: list[str] | None = None,
+    cache_base: str | None = None,
 ) -> dict:
     """Run every applicable (window × cohort) combo, resuming completed or
     partial combos from their manifests. An exception mid-grid propagates
     (driver-restart semantics); completed combos keep their manifests and
-    are skipped on the next invocation."""
+    are skipped on the next invocation.
+
+    `cache_base`: root of another grid's output — each combo looks for its
+    own label/config-hash subtree there and fetches completed chunks
+    instead of recomputing (checkpoint.fetch_chunk)."""
     t0 = time.time()
     combos = plan_grid(base_cfg, windows, cohorts)
     if hot_hosts is None:
@@ -101,12 +106,24 @@ def run_grid(
             continue
         cdir = combo_dir(out_root, label, cfg)
         already = len(completed_chunks(cdir)) if resume else 0
+        combo_cache = (
+            f"{cache_base.rstrip('/')}/{label}/{cfg.config_hash()}"
+            if cache_base
+            else None
+        )
         summary = run_qa(
-            spark, pages, cfg, cdir, resume=resume, hot_hosts=hot_hosts
+            spark,
+            pages,
+            cfg,
+            cdir,
+            resume=resume,
+            hot_hosts=hot_hosts,
+            cache_base=combo_cache,
         )
         summary["status"] = (
             "resumed" if already == cfg.n_chunks else
-            "partial_resume" if already else "ran"
+            "fetched" if summary.get("chunks_fetched") and not summary["chunks_run"]
+            else "partial_resume" if already else "ran"
         )
         results[label] = summary
         _write_grid_manifest(out_root, results)
@@ -121,6 +138,7 @@ def run_grid(
         "n_inapplicable": sum(
             r.get("status") == "inapplicable" for r in results.values()
         ),
+        "n_fetched": sum(r.get("status") == "fetched" for r in results.values()),
         "hot_hosts": hot_hosts,
         "wall_s": round(time.time() - t0, 3),
     }

@@ -66,6 +66,10 @@ def get_spark(
         "spark.ui.enabled": os.environ.get("SPARK_UI", "false"),
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
     }
+    # experiment hook: JVM flags for the (local-mode) driver+executor JVM,
+    # e.g. GC selection — SPARK_GRAFT_JAVA_OPTS="-XX:+UseParallelGC"
+    if os.environ.get("SPARK_GRAFT_JAVA_OPTS"):
+        conf["spark.driver.extraJavaOptions"] = os.environ["SPARK_GRAFT_JAVA_OPTS"]
     # cluster mode: same malloc tuning for executor-side python workers
     for k, v in MALLOC_ENV.items():
         conf[f"spark.executorEnv.{k}"] = v

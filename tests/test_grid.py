@@ -30,6 +30,24 @@ def test_plan_grid_capability_prune():
     assert cfgs[combo_label(WINDOWS[1], ("fr",))].cohort_langs == ("fr",)
 
 
+def test_grid_fetches_combos_from_shared_cache(spark, pages_sdf, tmp_path):
+    """A second grid pointed at the first grid's output root fetches every
+    completed combo chunk instead of recomputing."""
+    base = _cfg()
+    cache_root = str(tmp_path / "cacheroot")
+    run_grid(spark, pages_sdf, base, [None], [("en",)], cache_root)
+
+    out_root = str(tmp_path / "fresh")
+    s = run_grid(
+        spark, pages_sdf, base, [None], [("en",)], out_root,
+        cache_base=cache_root,
+    )
+    combo = s["combos"][combo_label(None, ("en",))]
+    assert combo["status"] == "fetched"
+    assert combo["chunks_fetched"] == [0, 1]
+    assert combo["chunks_run"] == []
+
+
 def test_grid_runs_resumes_and_survives_kill(spark, pages_sdf, tmp_path, monkeypatch):
     out_root = str(tmp_path / "grid")
     base = _cfg()

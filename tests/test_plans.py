@@ -124,6 +124,44 @@ def test_hot_host_detection_has_no_single_task_stage(spark, pages_sdf):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_ngram_dedup_plan_shape(spark, sf_dir):
+    """The DF-capped ngram dedup: stop-shingle filter is a BROADCAST anti
+    join (the hot set is tiny by construction), and nothing in the plan
+    degenerates to a cartesian product."""
+    from isimip_qa_spark.queries.dedup import dedup_ngram_jaccard
+
+    plan = plan_of(dedup_ngram_jaccard(spark, sf_dir))
+    assert "LeftAnti, BuildRight" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_multiprobe_embedding_plan_shape(spark, sf_dir):
+    """Rotated-LSH candidate generation joins on the 8-byte rotation key;
+    no cartesian product anywhere in the plan."""
+    from isimip_qa_spark.queries.ann import dedup_embedding_cosine_multiprobe
+
+    plan = plan_of(dedup_embedding_cosine_multiprobe(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spread_is_noop_on_wide_inputs(spark, pages_sdf):
+    """spread() must not add an exchange when the input already has at
+    least cluster-parallelism partitions (the 100-TB case: scans yield far
+    more splits than cores)."""
+    from isimip_qa_spark.queries._util import spread
+
+    wide = pages_sdf  # generated with 8 partitions; session is local[4]
+    assert wide.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert spread(wide, "url") is wide
+
+    narrow = pages_sdf.coalesce(1)
+    out = spread(narrow, "url")
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
 def test_time_slice_prunes_and_pushes(spark, sf_dir):
     from isimip_qa_spark.queries.reference_ops import time_slice
 
