@@ -243,20 +243,28 @@ def minhash_bands_udf(text):
 
 def _bands_from_parts(hashes, starts):
     """(shingle hashes, segment starts) → (n_docs, LSH_BANDS) band keys —
-    the shared tail of minhash_band_keys_series."""
+    the shared tail of minhash_band_keys_series.
+
+    One universal-hash pass per coefficient with preallocated in-place
+    buffers: the working set is one shingle-sized int64 vector (~4 MB at a
+    4096-doc Arrow batch), not the (n_shingles, 64) matrix (~250 MB) a
+    broadcast formulation materializes — that matrix made 32 concurrent
+    Python workers memory-bandwidth-bound and hypersensitive to neighbor
+    load. h*a+b stays < 2^62 (h < 2^31, a < 2^31): no int64 overflow."""
     import numpy as np
 
     n_docs = len(starts) - 1
-    A = np.array([a for a, _ in MINHASH_COEFFS], dtype=np.int64)
-    B = np.array([b for _, b in MINHASH_COEFFS], dtype=np.int64)
-    vals = (hashes[:, None] * A[None, :] + B[None, :]) % MERSENNE31
     nonempty = starts[:-1] < starts[1:]
     red_starts = starts[:-1][nonempty]
-    sigs = np.full((n_docs, N_MINHASH), 0, dtype=np.int64)
+    sigs = np.zeros((n_docs, N_MINHASH), dtype=np.int64)
     if red_starts.size:
-        sigs[nonempty] = np.minimum.reduceat(vals, red_starts, axis=0)[
-            : int(nonempty.sum())
-        ]
+        tmp = np.empty_like(hashes)
+        n_ne = int(nonempty.sum())
+        for j, (a, b) in enumerate(MINHASH_COEFFS):
+            np.multiply(hashes, a, out=tmp)
+            np.add(tmp, b, out=tmp)
+            np.remainder(tmp, MERSENNE31, out=tmp)
+            sigs[nonempty, j] = np.minimum.reduceat(tmp, red_starts)[:n_ne]
     sig3 = sigs.reshape(n_docs, LSH_BANDS, LSH_ROWS)
     bands = np.arange(LSH_BANDS, dtype=np.int64)
     keys = np.tile(bands, (n_docs, 1))
