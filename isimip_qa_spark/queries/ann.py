@@ -147,6 +147,37 @@ def _bucket_expr(vec: Column, rotation: int = 0) -> Column:
     return val
 
 
+def _bucket_keys_series(embs):
+    """Vectorized twin of [_bucket_expr(v, r) for r in range(N_ROTATIONS)].
+
+    Bit-identical float math: the dot product is an elementwise product
+    followed by np.cumsum — a strict left-to-right sequential sum, the same
+    IEEE-754 op order as the Spark `F.aggregate` fold and DuckDB's
+    `list_reduce` twin (np.dot/einsum would NOT be: blocking/FMA change the
+    rounding). The expression path evaluates 48 higher-order folds per row
+    on Catalyst's interpreted (non-codegen) path — this kernel replaces
+    that with ~100 numpy passes per whole Arrow batch. Equality with the
+    expression path is asserted in tests/test_ann_multiprobe.py."""
+    import numpy as np
+    import pandas as pd
+
+    V = np.vstack(embs.to_numpy())  # (m, DIM) float64 — fixed-width vectors
+    m = V.shape[0]
+    keys = np.empty((m, N_ROTATIONS), dtype=np.int64)
+    for r in range(N_ROTATIONS):
+        val = np.full(m, r * (1 << N_PLANES), dtype=np.int64)
+        for p, plane in enumerate(_hyperplanes(r)):
+            prod = V * np.asarray(plane)  # exact dyadic literals
+            dots = np.cumsum(prod, axis=1)[:, -1]
+            val += np.where(dots > 0, np.int64(1 << p), np.int64(0))
+        keys[:, r] = val
+    return pd.Series(list(keys), dtype="object")
+
+
+def _bucket_keys_udf(vec: Column) -> Column:
+    return F.pandas_udf(_bucket_keys_series, "array<long>")(vec)
+
+
 @register(
     "ann_lsh_bucketed",
     oracle=f"""
@@ -170,7 +201,7 @@ def _bucket_expr(vec: Column, rotation: int = 0) -> Column:
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    e = e.withColumn("bucket", _bucket_expr(F.col("v")))
+    e = e.withColumn("bucket", _bucket_keys_udf(F.col("v")).getItem(0))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -226,7 +257,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_embedding_cosine_multiprobe` below bands over rotations to close
     that gap and is the production path."""
     e = _emb(spark, sf_dir)
-    e = e.withColumn("bucket", _bucket_expr(F.col("v")))
+    e = e.withColumn("bucket", _bucket_keys_udf(F.col("v")).getItem(0))
     a = e.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
     )
@@ -282,10 +313,7 @@ def dedup_embedding_cosine_multiprobe(spark: SparkSession, sf_dir: str) -> DataF
     it and matches brute force."""
     e = _emb(spark, sf_dir)
     keyed = e.select(
-        "vec_id",
-        F.explode(
-            F.array(*[_bucket_expr(F.col("v"), r) for r in range(N_ROTATIONS)])
-        ).alias("k"),
+        "vec_id", F.explode(_bucket_keys_udf(F.col("v"))).alias("k")
     )
     cands = (
         keyed.alias("x")

@@ -86,6 +86,33 @@ def emb_dir(spark, tmp_path_factory):
     return d, vecs, pair_ids
 
 
+def test_bucket_udf_equals_expression_path(spark, emb_dir):
+    """The vectorized numpy bucket kernel (elementwise product + cumsum,
+    strict left-to-right) is bit-identical to the F.aggregate fold
+    expression for every rotation — the float-parity contract that keeps
+    the DuckDB oracle exact."""
+    from pyspark.sql import functions as F
+
+    from isimip_qa_spark.queries.ann import (
+        N_ROTATIONS,
+        _bucket_expr,
+        _bucket_keys_udf,
+        _emb,
+    )
+
+    d, _, _ = emb_dir
+    e = _emb(spark, d)
+    expr_keys = F.array(
+        *[_bucket_expr(F.col("v"), r) for r in range(N_ROTATIONS)]
+    )
+    j = e.select(
+        "vec_id",
+        expr_keys.alias("e_keys"),
+        _bucket_keys_udf(F.col("v")).alias("u_keys"),
+    )
+    assert j.filter(F.col("e_keys") != F.col("u_keys")).count() == 0
+
+
 def test_multiprobe_catches_straddling_pair(spark, emb_dir):
     from isimip_qa_spark.queries.ann import (
         dedup_embedding_cosine,
