@@ -89,7 +89,14 @@ def time_qa(spark, pages, mode: str, hot_hosts, measured_reps: int = 3) -> float
     walls = []
     for rep in range(measured_reps + 1):
         out_dir = tempfile.mkdtemp(prefix="bench_qa_", dir=TMP)
-        cfg = QAConfig(n_chunks=QA_CHUNKS, n_partitions=CPUS, checkpoint_mode=mode)
+        cfg = QAConfig(
+            n_chunks=QA_CHUNKS,
+            n_partitions=CPUS,
+            checkpoint_mode=mode,
+            # chunked: keep several chunk jobs in flight so one chunk's
+            # straggler tail overlaps the next chunk's map stage
+            n_concurrent_chunks=4 if mode == "chunked" else 1,
+        )
         t0 = time.time()
         run_qa(spark, pages, cfg, out_dir, resume=False, hot_hosts=hot_hosts)
         if rep > 0:  # rep 0 = warm-up

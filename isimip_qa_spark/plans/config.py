@@ -49,11 +49,24 @@ class QAConfig:
     # a completed run still resumes chunk-wise on later invocations.
     checkpoint_mode: str = "chunked"
     n_partitions: int = 32
+    # chunked mode: how many chunk jobs to keep in flight at once. Chunk
+    # jobs are independent (disjoint buckets, own manifests); >1 lets the
+    # scheduler overlap one chunk's straggler tail with the next chunk's
+    # map stage. Execution-only — excluded from config_hash.
+    n_concurrent_chunks: int = 1
     hot_host_frac: float = 0.05  # hosts above this share of rows get salted
     n_salts: int = 8
     stopwords: list[str] = field(default_factory=_union_stopwords)
 
+    # execution knobs that do not change output bytes — artifact identity
+    # (config_hash) must not depend on them, or a resume after changing
+    # them would needlessly recompute / refuse a cache hit
+    _NON_SEMANTIC = ("n_concurrent_chunks",)
+
     def config_hash(self) -> str:
         """Stable hash recorded in lineage (run manifest identity)."""
-        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        d = asdict(self)
+        for k in self._NON_SEMANTIC:
+            d.pop(k, None)
+        payload = json.dumps(d, sort_keys=True, default=str)
         return hashlib.sha256(payload.encode()).hexdigest()[:16]

@@ -187,10 +187,11 @@ def run_qa(
     if cfg.checkpoint_mode == "single_pass" and not done:
         return _run_single_pass(spark, df, cfg, out_dir, hot, cfg_hash, t0)
 
-    for chunk in range(cfg.n_chunks):
-        if chunk in done:
-            skipped.append(chunk)
-            continue
+    def _run_one_chunk(chunk: int) -> int:
+        """One chunk end-to-end: job → metrics/lineage append → manifest
+        commit. Thread-safe by construction: each chunk owns its data dir
+        and manifest file, and the metrics/lineage appends write
+        uuid-named parquet parts."""
         t_chunk = time.time()
         part = df.filter(F.col("bucket") == chunk).drop("bucket")
         part = salted_repartition(part, cfg.n_partitions, hot, cfg.n_salts)
@@ -222,7 +223,6 @@ def run_qa(
             )
         _append_parquet_driver_side(metrics_pdf, f"{out_dir}/metrics")
         n_rows = int(metrics_pdf["n_docs"].sum())  # no separate count job
-        total_rows += n_rows
 
         # lineage: what ran, over what, producing what (north_rule)
         import pandas as pd
@@ -250,7 +250,30 @@ def run_qa(
                 "files": chunk_files(out_dir, chunk),
             },
         )
-        ran.append(chunk)
+        return n_rows
+
+    todo = [c for c in range(cfg.n_chunks) if c not in done]
+    skipped = sorted(set(done) - set(fetched))
+    conc = max(1, cfg.n_concurrent_chunks)
+    if conc == 1 or len(todo) <= 1:
+        for chunk in todo:
+            total_rows += _run_one_chunk(chunk)
+            ran.append(chunk)
+    else:
+        # job-level parallelism: chunk jobs are independent (disjoint url
+        # buckets, own manifests), so submitting several at once lets the
+        # Spark scheduler pipeline one chunk's straggler tail with the next
+        # chunk's map stage — on a large cluster serial submission leaves
+        # executors idle during every chunk's tail. Resume granularity is
+        # unchanged: each chunk still commits its own manifest.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=conc) as ex:
+            futs = {ex.submit(_run_one_chunk, c): c for c in todo}
+            for fut, c in futs.items():
+                total_rows += fut.result()  # re-raises a failed chunk
+                ran.append(c)
+        ran.sort()
 
     return {
         "chunks_run": ran,

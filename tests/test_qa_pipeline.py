@@ -173,3 +173,36 @@ def test_single_pass_mode_equivalent(spark, pages_sdf, cfg, scored, tmp_path):
     summary3 = run_qa(spark, pages_sdf, cfg2, out, resume=True)
     assert summary3["chunks_run"] == [1]
     assert len(read_scored(spark, out).toPandas()) == 2000
+
+
+def test_concurrent_chunks_match_serial(spark, pages_sdf, tmp_path):
+    """n_concurrent_chunks=4 produces the same corpus, manifests, and
+    resume behaviour as the serial chunk loop — job-level parallelism must
+    not change any output byte or the resume granularity."""
+    from isimip_qa_spark.plans import QAConfig, run_qa
+    from isimip_qa_spark.plans.checkpoint import read_manifest
+    from isimip_qa_spark.plans.pipeline import read_scored
+
+    serial = QAConfig(n_chunks=4, n_partitions=4)
+    conc = QAConfig(n_chunks=4, n_partitions=4, n_concurrent_chunks=4)
+    # execution knob is identity-neutral: same artifact hash both ways
+    assert serial.config_hash() == conc.config_hash()
+
+    out_s, out_c = str(tmp_path / "s"), str(tmp_path / "c")
+    s1 = run_qa(spark, pages_sdf, serial, out_s)
+    s2 = run_qa(spark, pages_sdf, conc, out_c)
+    assert s1["chunks_run"] == s2["chunks_run"] == [0, 1, 2, 3]
+
+    a = read_scored(spark, out_s).orderBy("url").toPandas()
+    b = read_scored(spark, out_c).orderBy("url").toPandas()
+    assert a["url"].tolist() == b["url"].tolist()
+    assert a["keep"].tolist() == b["keep"].tolist()
+    assert a["text_scrubbed"].tolist() == b["text_scrubbed"].tolist()
+
+    rows_s = {c: m["rows"] for c, m in read_manifest(out_s).items()}
+    rows_c = {c: m["rows"] for c, m in read_manifest(out_c).items()}
+    assert rows_s == rows_c
+
+    # concurrent run resumes like the serial one
+    again = run_qa(spark, pages_sdf, conc, out_c)
+    assert again["chunks_run"] == [] and sorted(again["chunks_skipped"]) == [0, 1, 2, 3]
