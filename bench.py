@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_multiprobe",
     "ann_cosine_topk",
