@@ -273,6 +273,49 @@ def _bands_from_parts(hashes, starts):
     return keys + bands[None, :] * np.int64(MOD31)
 
 
+def simhash_series(texts, bits: int = SIMHASH_BITS):
+    """Vectorized twin of simhash_expr over a text Series — exact integer
+    math, bit-identical (tested). One exploded token frame gives every
+    token hash; then one pass per bit (±1 map → per-doc reduceat) keeps the
+    working set at one token-sized vector instead of an (n_tokens, bits)
+    matrix — the same cache-sizing lesson as the minhash kernel."""
+    import numpy as np
+    import pandas as pd
+
+    texts = texts.reset_index(drop=True).fillna("")
+    toks = texts.str.split(" ").explode()
+    doc_idx = toks.index.to_numpy(dtype=np.int64)
+    tok_len = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+
+    def _ords(s: pd.Series) -> np.ndarray:
+        arr = s.fillna("").to_numpy(dtype="U1")
+        return arr.view(np.uint32).astype(np.int64)
+
+    h = (
+        tok_len * KNUTH
+        + _ords(toks.str.slice(0, 1)) * 40503
+        + _ords(toks.str.slice(-1))
+    ) % MOD31
+    n_docs = len(texts)
+    counts = np.bincount(doc_idx, minlength=n_docs)
+    starts = np.cumsum(counts) - counts  # every doc has >= 1 token ('' -> [''])
+    val = np.zeros(n_docs, dtype=np.int64)
+    for b in range(bits):
+        pm = (((h >> b) & 1) << 1) - 1  # ±1 by bit b, int64
+        sums = np.add.reduceat(pm, starts)
+        val += np.where(sums > 0, np.int64(1 << b), np.int64(0))
+    return pd.Series(val, dtype="int64")
+
+
+def simhash_udf(text, bits: int = SIMHASH_BITS):
+    from pyspark.sql import functions as F
+
+    def _k(s):
+        return simhash_series(s, bits)
+
+    return F.pandas_udf(_k, "long")(text)
+
+
 # NOTE: a combined bands+shingle-set kernel (one pass emitting both) was
 # tried and removed: the structural 31-bit token hash that makes minhash
 # signatures oracle-reproducible collides on same-(length, first, last)

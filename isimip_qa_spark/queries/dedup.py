@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import read_table
 from ..functions import textstats as ts
-from ..functions.fingerprint import shingles_expr, shingles_sql, simhash_expr, simhash_sql
+from ..functions.fingerprint import shingles_expr, shingles_sql, simhash_sql
 from . import register
 from ._util import spread
 
@@ -260,10 +260,15 @@ SIMHASH_HAMMING_MAX = SIMHASH_CHUNKS - 1
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.fingerprint import simhash_udf
+
     d = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    # vectorized numpy kernel — bit-identical to
+    # simhash_expr(ts.tokens_expr(text), bits) (tested), ~10× the
+    # interpreted 28-fold expression path that this query evaluates on
+    # three plan branches (keyed + both verify sides)
     sig = d.select(
-        "doc_id",
-        simhash_expr(ts.tokens_expr(F.col("text")), SIMHASH_DEDUP_BITS).alias("sh"),
+        "doc_id", simhash_udf(F.col("text"), SIMHASH_DEDUP_BITS).alias("sh")
     )
     chunk_keys = F.array(
         *[

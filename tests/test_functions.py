@@ -158,3 +158,20 @@ def test_minhash_udf_equals_expr(spark, pages_sdf):
     j = expr_side.join(udf_side, "url")
     assert j.filter(F.col("e") != F.col("u")).count() == 0
 
+
+
+def test_simhash_kernel_equals_expr(spark, pages_sdf):
+    """Vectorized numpy simhash == the fold-expression simhash, at both the
+    default width and the dedup width."""
+    from pyspark.sql import functions as F
+
+    from isimip_qa_spark.functions import textstats as ts
+    from isimip_qa_spark.functions.fingerprint import simhash_expr, simhash_udf
+
+    sample = pages_sdf.limit(150)
+    for bits in (16, 28):
+        j = sample.select(
+            simhash_expr(ts.tokens_expr(F.col("text")), bits).alias("e"),
+            simhash_udf(F.col("text"), bits).alias("u"),
+        )
+        assert j.filter(F.col("e") != F.col("u")).count() == 0, bits
