@@ -48,6 +48,18 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _parse_window(tok: str | None):
+    """'lo:hi' (dates) → inclusive timestamp window; 'all'/empty/None → no
+    window. Validated here so a malformed token fails before the Spark
+    session exists, not inside scope_filter's tuple unpack."""
+    if tok in (None, "", "all"):
+        return None
+    parts = tok.split(":")
+    if len(parts) != 2:
+        raise SystemExit(f"--window(s) token {tok!r} must be 'lo:hi' or 'all'")
+    return tuple(f"{d} 00:00:00" for d in parts)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -67,11 +79,7 @@ def main(argv=None) -> int:
             n_buckets=args.chunks,
         )
 
-    window = (
-        tuple(f"{d} 00:00:00" for d in args.window.split(":"))
-        if args.window
-        else None
-    )
+    window = _parse_window(args.window)
     cfg = QAConfig(
         n_chunks=args.chunks,
         n_partitions=args.partitions or spark.sparkContext.defaultParallelism,
@@ -83,15 +91,10 @@ def main(argv=None) -> int:
     if args.windows or args.cohorts:
         from .plans import run_grid
 
-        def _win(tok):
-            if tok in ("all", ""):
-                return None
-            return tuple(f"{d} 00:00:00" for d in tok.split(":"))
-
         def _coh(tok):
             return None if tok in ("all", "") else tuple(tok.split(","))
 
-        windows = [_win(t) for t in (args.windows or "all").split(";")]
+        windows = [_parse_window(t) for t in (args.windows or "all").split(";")]
         cohorts = [_coh(t) for t in (args.cohorts or "all").split(";")]
         summary = run_grid(
             spark, pages, cfg, windows, cohorts, args.output,

@@ -80,10 +80,16 @@ def fetch_chunk(out_dir: str, chunk: int, cache_base: str, config_hash: str) -> 
 
     Identity guard: the cached manifest's config_hash must equal ours (the
     reference keys artifacts by extraction identity, extractions.py:33-40);
-    manifests without a file list (older runs) are not fetchable. Files are
-    written tmp-then-rename and the local manifest LAST, so a fetch killed
-    mid-way leaves no committed chunk. HTTP cannot list directories — the
-    manifest's `files` field is the listing."""
+    manifests without a file list (older runs) are not fetchable. The chunk
+    dir is CLEARED first (a prior crashed compute attempt may have left
+    committed-but-unmanifested part files that are not in the cache's list
+    — they must not survive into the fetched chunk), files are written
+    tmp-then-rename and the local manifest LAST, so a fetch killed mid-way
+    leaves no committed chunk. HTTP cannot list directories — the
+    manifest's `files` field is the listing; names are validated as plain
+    basenames because the cache is not trusted to build local paths."""
+    import shutil
+
     try:
         man = json.loads(
             _fetch_bytes(cache_base, f"_manifest/chunk_{chunk}.json")
@@ -92,7 +98,13 @@ def fetch_chunk(out_dir: str, chunk: int, cache_base: str, config_hash: str) -> 
         return False
     if man.get("config_hash") != config_hash or "files" not in man:
         return False
+    for fn in man["files"]:
+        # path-traversal guard: a malicious/compromised cache must not be
+        # able to direct writes outside the chunk directory
+        if fn != os.path.basename(fn) or fn.startswith(".") or fn in ("", ".."):
+            return False
     cdir = chunk_path(out_dir, chunk)
+    shutil.rmtree(cdir, ignore_errors=True)
     os.makedirs(cdir, exist_ok=True)
     try:
         for fn in man["files"]:
@@ -105,6 +117,14 @@ def fetch_chunk(out_dir: str, chunk: int, cache_base: str, config_hash: str) -> 
         return False
     mark_chunk_done(out_dir, chunk, dict(man, fetched_from=cache_base))
     return True
+
+
+def chunk_manifest(out_dir: str, chunk: int) -> dict | None:
+    p = os.path.join(manifest_dir(out_dir), f"chunk_{chunk}.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def chunk_files(out_dir: str, chunk: int) -> list[str]:

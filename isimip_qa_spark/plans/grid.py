@@ -95,9 +95,6 @@ def run_grid(
     instead of recomputing (checkpoint.fetch_chunk)."""
     t0 = time.time()
     combos = plan_grid(base_cfg, windows, cohorts)
-    if hot_hosts is None:
-        # one corpus-level scan for skew stats, shared by all combos
-        hot_hosts = detect_hot_hosts(pages, base_cfg.hot_host_frac)
 
     results: dict[str, dict] = {}
     for label, cfg, applicable in combos:
@@ -106,6 +103,12 @@ def run_grid(
             continue
         cdir = combo_dir(out_root, label, cfg)
         already = len(completed_chunks(cdir)) if resume else 0
+        if hot_hosts is None and already < cfg.n_chunks:
+            # one corpus-level scan for skew stats, shared by all combos —
+            # detected LAZILY on the first combo that actually has work, so
+            # re-invoking a fully-completed grid stays a no-op (the
+            # exists()-skip semantics, reference main.py:126-128)
+            hot_hosts = detect_hot_hosts(pages, base_cfg.hot_host_frac)
         combo_cache = (
             f"{cache_base.rstrip('/')}/{label}/{cfg.config_hash()}"
             if cache_base
@@ -139,7 +142,7 @@ def run_grid(
             r.get("status") == "inapplicable" for r in results.values()
         ),
         "n_fetched": sum(r.get("status") == "fetched" for r in results.values()),
-        "hot_hosts": hot_hosts,
+        "hot_hosts": hot_hosts or [],
         "wall_s": round(time.time() - t0, 3),
     }
     _write_grid_manifest(out_root, results)

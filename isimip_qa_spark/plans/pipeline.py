@@ -27,11 +27,58 @@ import uuid
 
 from .checkpoint import (
     chunk_files,
+    chunk_manifest,
     chunk_path,
     completed_chunks,
     fetch_chunk,
     mark_chunk_done,
 )
+
+
+def _metrics_records(pdf) -> list[dict]:
+    """Chunk metrics rows as JSON-safe records for the chunk manifest —
+    fetchers replay them so a cache-hydrated out_dir keeps the full
+    artifact contract (metrics/lineage present), not just the data."""
+    import pandas as pd
+
+    recs = pdf.to_dict("records")
+    for r in recs:
+        for k in ("ts_min", "ts_max"):
+            v = r.get(k)
+            r[k] = None if v is None or pd.isna(v) else str(v)
+        for k, v in list(r.items()):
+            if v is not None and pd.isna(v):
+                r[k] = None
+    return recs
+
+
+def _replay_fetched_artifacts(out_dir: str, chunk: int, fetch_wall: float) -> None:
+    """Materialize the metrics/lineage rows of a just-fetched chunk from
+    its manifest (written by fetch_chunk), keeping the same columns as
+    computed chunks so the metrics/lineage tables stay schema-stable."""
+    import pandas as pd
+
+    man = chunk_manifest(out_dir, chunk) or {}
+    recs = man.get("metrics")
+    if recs:
+        pdf = pd.DataFrame(recs)
+        for k in ("ts_min", "ts_max"):
+            if k in pdf.columns:
+                pdf[k] = pd.to_datetime(pdf[k]).astype("datetime64[us]")
+        _append_parquet_driver_side(pdf, f"{out_dir}/metrics")
+    lineage = pd.DataFrame(
+        [
+            {
+                "config_hash": man.get("config_hash", ""),
+                "chunk": chunk,
+                "stages": ",".join(man.get("stages", [])),
+                "rows": man.get("rows", 0),
+                "n_hot_hosts": 0,  # fetched, no skew scan ran locally
+                "wall_s": round(fetch_wall, 3),
+            }
+        ]
+    )
+    _append_parquet_driver_side(lineage, f"{out_dir}/lineage")
 from .config import QAConfig
 from .skew import detect_hot_hosts, salted_repartition
 from .stages import FUSED_STAGES, STAGES
@@ -152,9 +199,11 @@ def run_qa(
     fetched: list[int] = []
     if resume and cache_base and len(done_early) < cfg.n_chunks:
         for c in range(cfg.n_chunks):
+            t_fetch = time.time()
             if c not in done_early and fetch_chunk(
                 out_dir, c, cache_base, cfg.config_hash()
             ):
+                _replay_fetched_artifacts(out_dir, c, time.time() - t_fetch)
                 fetched.append(c)
         done_early = completed_chunks(out_dir)
 
@@ -248,6 +297,7 @@ def run_qa(
                 "config_hash": cfg_hash,
                 "stages": [s.name for s in STAGES],
                 "files": chunk_files(out_dir, chunk),
+                "metrics": _metrics_records(metrics_pdf),
             },
         )
         return n_rows
@@ -361,6 +411,9 @@ def _run_single_pass(
                 "config_hash": cfg_hash,
                 "stages": [s.name for s in STAGES],
                 "files": chunk_files(out_dir, c),
+                "metrics": _metrics_records(
+                    metrics_pdf[metrics_pdf["chunk"] == c]
+                ),
             },
         )
     return {

@@ -145,12 +145,24 @@ def qa_sink(scored_input: DataFrame, out_dir: str, cfg) -> DataFrame:
                     # sweep tmp files abandoned by failed/killed prior
                     # attempts of THIS partition (a crashed task never
                     # reaches its os.replace; reruns must not accumulate
-                    # hidden .tmp files on disk)
+                    # hidden .tmp files on disk). Guard: only attempts with
+                    # a STRICTLY LOWER attempt id — a concurrent
+                    # speculative/zombie attempt with a higher id is live
+                    # and must not have its open tmp unlinked mid-write
+                    # (attempt ids are monotonically increasing)
                     import glob
 
                     for stale in glob.glob(
                         os.path.join(cdir, f".part-{pid:05d}-*.tmp")
                     ):
+                        try:
+                            stale_attempt = int(
+                                stale.rsplit("-", 1)[1][: -len(".tmp")]
+                            )
+                        except ValueError:
+                            continue
+                        if stale_attempt >= attempt:
+                            continue
                         try:
                             os.remove(stale)
                         except OSError:

@@ -147,8 +147,8 @@ def _bucket_expr(vec: Column, rotation: int = 0) -> Column:
     return val
 
 
-def _bucket_keys_series(embs):
-    """Vectorized twin of [_bucket_expr(v, r) for r in range(N_ROTATIONS)].
+def _bucket_keys_series(embs, n_rotations: int = N_ROTATIONS):
+    """Vectorized twin of [_bucket_expr(v, r) for r in range(n_rotations)].
 
     Bit-identical float math: the dot product is an elementwise product
     followed by np.cumsum — a strict left-to-right sequential sum, the same
@@ -161,10 +161,12 @@ def _bucket_keys_series(embs):
     import numpy as np
     import pandas as pd
 
+    if len(embs) == 0:  # an empty Arrow batch must not kill the task
+        return pd.Series([], dtype="object")
     V = np.vstack(embs.to_numpy())  # (m, DIM) float64 — fixed-width vectors
     m = V.shape[0]
-    keys = np.empty((m, N_ROTATIONS), dtype=np.int64)
-    for r in range(N_ROTATIONS):
+    keys = np.empty((m, n_rotations), dtype=np.int64)
+    for r in range(n_rotations):
         val = np.full(m, r * (1 << N_PLANES), dtype=np.int64)
         for p, plane in enumerate(_hyperplanes(r)):
             prod = V * np.asarray(plane)  # exact dyadic literals
@@ -174,8 +176,14 @@ def _bucket_keys_series(embs):
     return pd.Series(list(keys), dtype="object")
 
 
-def _bucket_keys_udf(vec: Column) -> Column:
-    return F.pandas_udf(_bucket_keys_series, "array<long>")(vec)
+def _bucket_keys_udf(vec: Column, n_rotations: int = N_ROTATIONS) -> Column:
+    """Bucket keys for the first `n_rotations` rotation tables — the
+    single-table queries pass 1 so they never pay for planes they drop."""
+
+    def _k(embs):
+        return _bucket_keys_series(embs, n_rotations)
+
+    return F.pandas_udf(_k, "array<long>")(vec)
 
 
 @register(
@@ -201,7 +209,7 @@ def _bucket_keys_udf(vec: Column) -> Column:
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    e = e.withColumn("bucket", _bucket_keys_udf(F.col("v")).getItem(0))
+    e = e.withColumn("bucket", _bucket_keys_udf(F.col("v"), 1).getItem(0))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -257,7 +265,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_embedding_cosine_multiprobe` below bands over rotations to close
     that gap and is the production path."""
     e = _emb(spark, sf_dir)
-    e = e.withColumn("bucket", _bucket_keys_udf(F.col("v")).getItem(0))
+    e = e.withColumn("bucket", _bucket_keys_udf(F.col("v"), 1).getItem(0))
     a = e.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
     )
