@@ -10,6 +10,10 @@ Three entry points:
   — running per-host document counts + first/last seen, state carried
   across micro-batches (the incremental cross-file accumulation of
   countmap.py:29-32, done with real stream state).
+- `dedup_stream`: streaming exact dedup — watermark-bounded
+  `dropDuplicates` on xxhash64(text), the streaming twin of
+  queries/dedup.dedup_exact (same 8-byte dedup key; state size bounded by
+  the watermark horizon instead of unbounded full-corpus state).
 """
 
 from __future__ import annotations
@@ -97,6 +101,39 @@ def windowed_metrics_stream(
     return (
         metrics.writeStream.format("parquet")
         .option("path", f"{out_dir}/metrics")
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def dedup_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    watermark: str = "1 day",
+):
+    """Streaming exact dedup: keep the first arrival of each distinct text.
+
+    Same key discipline as the batch dedup_exact: duplicate state is keyed
+    on xxhash64(text) — 8 bytes per document in the state store, never the
+    document bytes. `dropDuplicates` state grows forever on an unbounded
+    stream, so the duplicate horizon is bounded by a warc_ts watermark
+    (dropDuplicates([key, event-time col]) + withWatermark drops state for
+    expired windows): a re-crawl of the same page more than `watermark`
+    later re-emits, which is the standard streaming-dedup contract."""
+    pages = read_pages_stream(spark, src_dir).drop("html")
+    deduped = (
+        pages.filter(F.col("warc_ts").isNotNull())
+        .withColumn("th", F.xxhash64("text"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["th"])
+        .drop("th")
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", f"{out_dir}/deduped")
         .option("checkpointLocation", f"{out_dir}/_checkpoint")
         .outputMode("append")
         .trigger(availableNow=True)

@@ -68,3 +68,20 @@ def test_host_state_across_batches(spark, staged_src, tmp_path):
     final_host0 = got[got["host"] == "host0.example.org"]["n_docs"].max()
     assert final_host0 == 400
     assert got["first_ts"].min().year == 2024
+
+
+def test_dedup_stream_first_arrival_wins(spark, staged_src, tmp_path):
+    """Streaming exact dedup keeps one row per distinct text across
+    micro-batches; the planted near-dup structure guarantees true
+    duplicate groups exist in the corpus."""
+    from isimip_qa_spark.streaming.qa_stream import dedup_stream
+
+    out = str(tmp_path / "dedup_out")
+    q = dedup_stream(spark, staged_src, out)
+    q.awaitTermination(120)
+    got = spark.read.parquet(f"{out}/deduped").toPandas()
+    pdf = pages_pandas(np.arange(2000))
+    n_distinct = pdf["text"].nunique()
+    assert n_distinct < 2000  # the corpus really contains duplicates
+    assert len(got) == n_distinct
+    assert got["text"].nunique() == n_distinct
