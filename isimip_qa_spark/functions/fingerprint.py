@@ -316,6 +316,106 @@ def simhash_udf(text, bits: int = SIMHASH_BITS):
     return F.pandas_udf(_k, "long")(text)
 
 
+# --- production-width simhash: 64-bit fingerprint over FNV-1a token hashes ---
+#
+# The 31-bit structural token hash above exists so DuckDB can reproduce the
+# *demo* fingerprint with integer arithmetic; its entropy caps the usable
+# fingerprint at 28 bits, and 28-bit chunk blocking is quadratic-on-average
+# at crawl scale (bucket occupancy n/2^14). The production fingerprint is 64
+# bits over full-content FNV-1a-64 token hashes — and it is STILL
+# oracle-reproducible: DuckDB folds the same hash with HUGEINT arithmetic
+# (xor + wrap-around multiply mod 2^64), verified exact in tests.
+
+FNV_BASIS = 14695981039346656037  # FNV-1a 64 offset basis
+FNV_PRIME = 1099511628211  # FNV-1a 64 prime
+_U64 = 1 << 64
+
+
+def fnv64_sql(tok: str) -> str:
+    """DuckDB twin of FNV-1a 64 over codepoints (HUGEINT mod 2^64)."""
+    return (
+        f"list_reduce(list_prepend({FNV_BASIS}::HUGEINT, "
+        f"list_transform(range(1, length({tok}) + 1), i -> ord({tok}[i:i])::HUGEINT)), "
+        f"(h, c) -> (xor(h, c) * {FNV_PRIME}::HUGEINT) % {_U64}::HUGEINT)"
+    )
+
+
+def simhash64_from_hashes_sql(hashes: str) -> str:
+    """DuckDB: 64-bit simhash over a HUGEINT token-hash list column, emitted
+    as a signed BIGINT (two's-complement view, matching numpy's int64 view)."""
+    terms = []
+    for b in range(64):
+        bit_sum = (
+            f"list_sum(list_transform({hashes}, "
+            f"x -> ((x // {1 << b}::HUGEINT) % 2) * 2 - 1))"
+        )
+        terms.append(f"(CASE WHEN {bit_sum} > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)")
+    total = "(" + " + ".join(terms) + ")"
+    return (
+        f"(CASE WHEN {total} >= {1 << 63}::HUGEINT "
+        f"THEN {total} - {_U64}::HUGEINT ELSE {total} END)::BIGINT"
+    )
+
+
+def _token_fnv64(toks) -> "object":
+    """Vectorized FNV-1a 64 per token (pd.Series[str] → uint64 ndarray).
+
+    Codepoint matrix from the fixed-width U-dtype buffer, then one
+    vectorized fold step per character column (max-token-length passes, each
+    whole-array) — uint64 multiply wraps mod 2^64 natively. Bit-identical to
+    the per-char Python/DuckDB fold (tested)."""
+    import numpy as np
+
+    n = len(toks)
+    filled = toks.fillna("")
+    arr = filled.to_numpy(dtype="U")
+    if n == 0 or arr.dtype.itemsize == 0:  # empty batch / all-empty tokens
+        return np.full(n, FNV_BASIS, dtype=np.uint64)
+    width = arr.dtype.itemsize // 4
+    cp = arr.view(np.uint32).reshape(n, width).astype(np.uint64)
+    lens = filled.str.len().to_numpy(dtype=np.int64)
+    h = np.full(n, FNV_BASIS, dtype=np.uint64)
+    prime = np.uint64(FNV_PRIME)
+    for j in range(width):
+        active = lens > j
+        if not active.any():
+            break
+        h = np.where(active, (h ^ cp[:, j]) * prime, h)
+    return h
+
+
+def simhash64_series(texts):
+    """Vectorized 64-bit simhash over a text Series → int64 Series (the
+    uint64 fingerprint viewed as two's-complement, so Spark BIGINT holds it
+    and xor/bit_count operate on the same bit pattern). Same per-bit
+    reduceat shape as simhash_series — one token-sized working vector."""
+    import numpy as np
+    import pandas as pd
+
+    texts = texts.reset_index(drop=True).fillna("")
+    n_docs = len(texts)
+    if n_docs == 0:
+        return pd.Series([], dtype="int64")
+    toks = texts.str.split(" ").explode()
+    doc_idx = toks.index.to_numpy(dtype=np.int64)
+    h = _token_fnv64(toks)
+    counts = np.bincount(doc_idx, minlength=n_docs)
+    starts = np.cumsum(counts) - counts  # every doc has >= 1 token
+    val = np.zeros(n_docs, dtype=np.uint64)
+    one = np.uint64(1)
+    for b in range(64):
+        pm = (((h >> np.uint64(b)) & one).astype(np.int64) << 1) - 1
+        sums = np.add.reduceat(pm, starts)
+        val |= np.where(sums > 0, one << np.uint64(b), np.uint64(0))
+    return pd.Series(val.view(np.int64), dtype="int64")
+
+
+def simhash64_udf(text):
+    from pyspark.sql import functions as F
+
+    return F.pandas_udf(simhash64_series, "long")(text)
+
+
 # NOTE: a combined bands+shingle-set kernel (one pass emitting both) was
 # tried and removed: the structural 31-bit token hash that makes minhash
 # signatures oracle-reproducible collides on same-(length, first, last)

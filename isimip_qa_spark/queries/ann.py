@@ -30,6 +30,31 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _vec_d("embedding").alias("v")
     )
 
+
+# Exact-duplicate representatives (min vec_id per byte-identical vector) —
+# the same "dedup_exact first" mass-duplicate guard as queries/dedup.py: a
+# cluster of k identical embeddings contributes ONE vector to LSH blocking
+# instead of k² candidate pairs. One 8-byte-key exchange (xxhash64 over the
+# float array); in-group verification is local (window on (vh, v) satisfied
+# by hashpartitioning(vh)). Oracle twin: _EMB_REPS_CTE.
+_EMB_REPS_CTE = (
+    "ereps AS (SELECT min(vec_id) AS vec_id, embedding "
+    "FROM embeddings GROUP BY embedding)"
+)
+
+
+def _emb_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(read_table(spark, sf_dir, "embeddings"), "vec_id").withColumn(
+        "vh", F.xxhash64("embedding")
+    )
+    e = e.repartition(F.col("vh"))
+    w = Window.partitionBy("vh", "embedding").orderBy("vec_id")
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", _vec_d("embedding").alias("v"))
+    )
+
 N_QUERIES = 5  # vec_id 0..4 are the query vectors
 TOP_K = 5
 N_PLANES = 12
@@ -243,8 +268,9 @@ DUP_COS_THRESHOLD = 0.98
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH e AS (SELECT vec_id, {_EMB_D_SQL} AS v, {_bucket_sql(_EMB_D_SQL)} AS bucket
-               FROM embeddings),
+    WITH {_EMB_REPS_CTE},
+    e AS (SELECT vec_id, {_EMB_D_SQL} AS v, {_bucket_sql(_EMB_D_SQL)} AS bucket
+               FROM ereps),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              {_dot_sql('a.v', 'b.v')} /
@@ -258,21 +284,26 @@ DUP_COS_THRESHOLD = 0.98
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed.
 
-    Scale path: the self-join keys on the 12-bit hyperplane bucket — a
-    shuffle hash join on `bucket` whose per-bucket candidate sets are ~n/4096
-    of the corpus, versus the O(n²) unbucketed cross join. Same recall
+    Scale path: candidates from a self-join on the 12-bit hyperplane bucket
+    key — per-bucket candidate sets are ~n/4096 of the corpus, versus the
+    O(n²) unbucketed cross join — over exact-duplicate representatives and
+    with hot buckets capped (queries/dedup.py discipline; the cap is inert
+    at tested scales, asserted in tests/test_dedup_caps.py). Same recall
     caveat as any single-table LSH: pairs split across buckets are missed;
     `dedup_embedding_cosine_multiprobe` below bands over rotations to close
     that gap and is the production path."""
-    e = _emb(spark, sf_dir)
-    e = e.withColumn("bucket", _bucket_keys_udf(F.col("v"), 1).getItem(0))
-    a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    from .dedup import candidate_pairs
+
+    e = _emb_reps(spark, sf_dir)
+    keyed = e.select(
+        "vec_id", _bucket_keys_udf(F.col("v"), 1).getItem(0).alias("k")
     )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    cands = candidate_pairs(keyed, "vec_id").select(
+        F.col("vec_id_a").alias("id_a"), F.col("vec_id_b").alias("id_b")
     )
-    pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = cands.join(a, "id_a").join(b, "id_b")
     sim = _dot(F.col("va"), F.col("vb")) / (
         F.sqrt(_dot(F.col("va"), F.col("va")))
         * F.sqrt(_dot(F.col("vb"), F.col("vb")))
@@ -291,7 +322,8 @@ def _multiprobe_keys_sql(vec: str) -> str:
 @register(
     "dedup_embedding_cosine_multiprobe",
     oracle=f"""
-    WITH e AS (SELECT vec_id, {_EMB_D_SQL} AS v FROM embeddings),
+    WITH {_EMB_REPS_CTE},
+    e AS (SELECT vec_id, {_EMB_D_SQL} AS v FROM ereps),
     k AS (SELECT vec_id, unnest({_multiprobe_keys_sql('v')}) AS k FROM e),
     c AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
           FROM k a JOIN k b ON a.k = b.k AND a.vec_id < b.vec_id),
@@ -318,19 +350,16 @@ def dedup_embedding_cosine_multiprobe(spark: SparkSession, sf_dir: str) -> DataF
     deduplicated candidates removes false positives, so extra rotations
     cost candidates, never precision. tests/test_ann_multiprobe.py plants a
     straddling pair and asserts single-table misses it while this catches
-    it and matches brute force."""
-    e = _emb(spark, sf_dir)
+    it and matches brute force. Runs over exact-duplicate representatives
+    with hot bucket keys capped (queries/dedup.py mass-duplicate guard)."""
+    from .dedup import candidate_pairs
+
+    e = _emb_reps(spark, sf_dir)
     keyed = e.select(
         "vec_id", F.explode(_bucket_keys_udf(F.col("v"))).alias("k")
     )
-    cands = (
-        keyed.alias("x")
-        .join(keyed.alias("y"), F.col("x.k") == F.col("y.k"))
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
-        )
-        .distinct()
+    cands = candidate_pairs(keyed, "vec_id").select(
+        F.col("vec_id_a").alias("id_a"), F.col("vec_id_b").alias("id_b")
     )
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))

@@ -7,20 +7,49 @@ verification on the candidate pairs only. The verified output is what the
 oracle checks: the O(n²) DuckDB twin computes ground-truth pairs, so any LSH
 false negative (probability ≈ 6e-8 per true pair at J≥0.9 with 16×4 bands)
 or false positive would surface as a mismatch.
+
+Mass-duplicate guard (the crawl pathology: 10⁶ byte-identical empty /
+boilerplate pages sharing every blocking key → k² candidate rows):
+
+1. EVERY near-dup query runs over exact-duplicate REPRESENTATIVES (min
+   doc_id per identical text) — the composed-pipeline contract "dedup_exact
+   first". A byte-identical cluster of any size contributes ONE doc to
+   blocking; its members are already reported by `dedup_exact` (dup_rank /
+   group_size). The representative selection is the same 8-byte-key shuffle
+   shape as dedup_exact and is mirrored EXACTLY in each DuckDB oracle (a
+   min(doc_id)-per-text CTE), so the contract is oracle-enforced, not
+   advisory.
+2. Residual near-identical-but-distinct clusters are bounded by a blocking
+   key frequency cap (`cap_hot_keys`, BUCKET_CAP): keys shared by more than
+   BUCKET_CAP representatives are dropped before the self-join, bounding
+   per-key fan-out at BUCKET_CAP². Recall contract: a pair is missed only
+   if EVERY key it shares is hot — i.e. it sits inside a > BUCKET_CAP
+   near-identical cluster, where pair enumeration is quadratic by
+   definition and clustering (connected components over the surviving
+   pairs) is the right output. The cap is inert at tested scales
+   (asserted in tests/test_dedup_caps.py), so the oracles — which do not
+   model the cap — remain exact.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import read_table
 from ..functions import textstats as ts
-from ..functions.fingerprint import shingles_expr, shingles_sql, simhash_sql
+from ..functions.fingerprint import (
+    fnv64_sql,
+    shingles_expr,
+    shingles_sql,
+    simhash64_from_hashes_sql,
+    simhash_sql,
+)
 from . import register
 from ._util import spread
 
 JACCARD_THRESHOLD = 0.5
+BUCKET_CAP = 256  # blocking-key document-frequency cap (see module docstring)
 
 # ---------------------------------------------------------------------------
 # Exact dedup: rank within identical-text groups. Scale shape: the ONE
@@ -56,17 +85,74 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-duplicate representatives: min doc_id per identical text — the
+# "dedup_exact first" composition every near-dup query below builds on.
+# Same physical shape as dedup_exact (one 8-byte-key exchange, local
+# windows); the oracle twin is `_REPS_CTE`.
+_REPS_CTE = (
+    "reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)"
+)
+
+
+def exact_reps(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """min-id representative per identical text (DataFrame-level core, so
+    planted-cluster tests can drive it directly)."""
+    d = docs.withColumn("_th", F.xxhash64(text_col))
+    d = d.repartition(F.col("_th"))
+    w = Window.partitionBy("_th", text_col).orderBy(id_col)
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_th")
+    )
+
+
+def rep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_reps(read_table(spark, sf_dir, "documents"))
+
+
+def cap_hot_keys(keyed: DataFrame, key: str = "k", cap: int = BUCKET_CAP) -> DataFrame:
+    """Drop blocking keys whose frequency exceeds `cap` before a candidate
+    self-join (the DF-cap discipline from the shingle join, applied to every
+    LSH family member). The hot set is tiny by construction — ≤ n_keys/cap
+    entries, and in practice only mass near-identical clusters produce one —
+    so it broadcasts. Recall contract in the module docstring."""
+    freq = keyed.groupBy(key).agg(F.count(F.lit(1)).alias("_f"))
+    hot = freq.filter(F.col("_f") > cap).select(key)
+    return keyed.join(F.broadcast(hot), key, "left_anti")
+
+
+def candidate_pairs(keyed: DataFrame, id_col: str, key: str = "k",
+                    cap: int = BUCKET_CAP) -> DataFrame:
+    """(id, blocking key) → distinct candidate (a < b) pairs, hot keys
+    capped. The shared candidate step of minhash / simhash / multiprobe
+    (tests/test_dedup_caps.py drives it directly with planted clusters)."""
+    kept = cap_hot_keys(keyed, key, cap)
+    return (
+        kept.alias("x")
+        .join(kept.alias("y"), F.col(f"x.{key}") == F.col(f"y.{key}"))
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"y.{id_col}").alias(f"{id_col}_b"),
+        )
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
-# Shared ground truth for near-dup pairs: exact word-3-shingle Jaccard.
-# DuckDB oracle does the O(n²) self-join (fine at sf0.01); Spark must produce
-# the same pairs via the scalable path.
+# Shared ground truth for near-dup pairs: exact word-3-shingle Jaccard over
+# representatives. DuckDB oracle does the O(n²) self-join (fine at sf0.01);
+# Spark must produce the same pairs via the scalable path.
 # ---------------------------------------------------------------------------
 
 
 def _jaccard_pairs_sql(threshold: float) -> str:
     sh = shingles_sql("string_split(text, ' ')")
     return f"""
-    WITH d AS (SELECT doc_id, {sh} AS sh FROM documents),
+    WITH {_REPS_CTE},
+    d AS (SELECT doc_id, {sh} AS sh FROM reps),
     p AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              len(list_intersect(a.sh, b.sh))::DOUBLE
@@ -79,7 +165,7 @@ def _jaccard_pairs_sql(threshold: float) -> str:
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    d = spread(rep_documents(spark, sf_dir), "doc_id")
     return d.select(
         "doc_id", shingles_expr(ts.tokens_expr(F.col("text"))).alias("sh")
     )
@@ -91,10 +177,14 @@ DF_CAP = 64  # stop-shingle cut: drop shingles appearing in > DF_CAP docs
 def _jaccard_pairs_capped_sql(threshold: float, cap: int) -> str:
     """DuckDB twin of the DF-capped path — the cap is applied identically
     (drop shingles with document frequency > cap; per-doc sizes recomputed
-    over kept shingles), so Spark and oracle stay exact twins."""
+    over kept shingles), so Spark and oracle stay exact twins.
+    tests/test_dedup_caps.py asserts this equals the UNCAPPED ground truth
+    at test scale (max df ≤ cap there), so a fixture change that makes the
+    cap bite fails loudly instead of silently redefining the query."""
     sh = shingles_sql("string_split(text, ' ')")
     return f"""
-    WITH d AS (SELECT doc_id, {sh} AS sh FROM documents),
+    WITH {_REPS_CTE},
+    d AS (SELECT doc_id, {sh} AS sh FROM reps),
     e AS (SELECT doc_id, unnest(sh) AS s FROM d),
     keep_s AS (SELECT s FROM (SELECT s, count(*) AS c FROM e GROUP BY s)
                WHERE c <= {cap}),
@@ -128,7 +218,8 @@ def _jaccard_pairs_capped_sql(threshold: float, cap: int) -> str:
 # it shares is boilerplate (df > DF_CAP); for such pairs the MinHash-LSH
 # path below remains the detector. At the tested scales the cap is inert
 # (max df at sf0.01 is 7), so the oracle — which applies the identical cap
-# — also equals the uncapped ground truth there.
+# — also equals the uncapped ground truth there (asserted in
+# tests/test_dedup_caps.py).
 #
 # Cost shape at 10^12 docs: one hash agg on int64 keys for the df table, a
 # broadcast anti-join against the (tiny-by-construction) stop-shingle set,
@@ -190,7 +281,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.fingerprint import minhash_bands_udf
 
-    d = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    d = spread(rep_documents(spark, sf_dir), "doc_id")
     sig = d.select("doc_id", minhash_bands_udf(F.col("text")).alias("bands"))
     sh64 = _shingled(spark, sf_dir).select(
         "doc_id",
@@ -199,23 +290,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sh"),
     )
     keyed = sig.select("doc_id", F.explode("bands").alias("k"))
-    cands = (
-        keyed.alias("x")
-        .join(keyed.alias("y"), F.col("x.k") == F.col("y.k"))
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    a = sh64.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh64.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    cands = candidate_pairs(keyed, "doc_id")
+    a = sh64.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = sh64.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(a, "doc_id_a").join(b, "doc_id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     jac = inter / union
     return joined.filter(jac >= JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        F.round(jac, 6).alias("jaccard"),
     )
 
 
@@ -224,19 +309,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with the fingerprint split into C chunks, two fingerprints at Hamming
 # distance ≤ C-1 must agree on at least one whole chunk, so "candidates =
 # pairs sharing any chunk value" has 100% recall for d ≤ C-1 by
-# construction (not probabilistically, unlike MinHash bands). The oracle is
-# the O(n²) ground truth over bit_count(xor) — equality is therefore exact.
+# construction (not probabilistically, unlike MinHash bands) — among
+# representatives with no hot chunk key (module docstring).
 #
-# Width note: the engine-portable token hash is 31-bit (so the DuckDB twin
-# can reproduce it with integer arithmetic), which caps the demo fingerprint
-# at 28 bits. Chunk width controls the candidate volume (buckets ~n/2^width
-# ⇒ candidate pairs shrink quadratically in it), so the 28 bits are split
-# into C=2 chunks of 14 bits (16k values) covering d ≤ 1 — 4×7-bit chunks
-# would cover d ≤ 3 but with 128× coarser buckets the candidate set grows
-# toward quadratic (measured: 337k pairs at sf0.1 — rejected). The
-# production shape is identical with a 64-bit fingerprint and 4×16-bit
-# chunks (d ≤ 3, 65k values per chunk); the plan — explode C 8-byte chunk
-# keys, hash self-join, distinct, integer-verify — does not change.
+# Two widths share this plan (explode C 8-byte chunk keys, hash self-join,
+# distinct, integer-verify):
+# - dedup_simhash: 28-bit demo fingerprint, 2×14-bit chunks, d ≤ 1. The
+#   31-bit structural token hash keeps it reproducible by integer SQL; kept
+#   as the legacy-twin query.
+# - dedup_simhash64: the PRODUCTION shape — 64-bit fingerprint over
+#   FNV-1a-64 token hashes, 4×16-bit chunks, d ≤ 3. Average bucket
+#   occupancy n/65,536 per chunk table, and the DuckDB oracle reproduces
+#   the full fingerprint with HUGEINT arithmetic, so the O(n²)
+#   bit_count(xor) ground truth still verifies it exactly.
 # ---------------------------------------------------------------------------
 
 SIMHASH_DEDUP_BITS = 28
@@ -245,13 +330,50 @@ _CHUNK_BITS = SIMHASH_DEDUP_BITS // SIMHASH_CHUNKS
 SIMHASH_HAMMING_MAX = SIMHASH_CHUNKS - 1
 
 
+def _chunk_keys(sh: Column, n_chunks: int, chunk_bits: int) -> Column:
+    """Chunk-disjoint blocking keys from a fingerprint column. shiftright on
+    BIGINT is arithmetic, so mask AFTER shifting — correct for negative
+    (64-bit two's-complement) fingerprints too."""
+    return F.array(
+        *[
+            F.shiftright(sh, chunk_bits * i)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            + F.lit((i + 1) << (chunk_bits + 1)).cast("long")
+            for i in range(n_chunks)
+        ]
+    )
+
+
+def _simhash_pairs(sig: DataFrame, n_chunks: int, chunk_bits: int,
+                   hamming_max: int) -> DataFrame:
+    """sig(doc_id, sh) → verified pairs at Hamming ≤ hamming_max."""
+    keyed = sig.select(
+        "doc_id", F.explode(_chunk_keys(F.col("sh"), n_chunks, chunk_bits)).alias("k")
+    )
+    cands = candidate_pairs(keyed, "doc_id")
+    a = sig.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return (
+        cands.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .filter(ham <= hamming_max)
+        .select(
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+    )
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
-    WITH d AS (
+    WITH {_REPS_CTE},
+    d AS (
       SELECT doc_id,
              {simhash_sql('string_split(text, ' + chr(39) + ' ' + chr(39) + ')', SIMHASH_DEDUP_BITS)} AS sh
-      FROM documents
+      FROM reps
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
@@ -262,7 +384,7 @@ SIMHASH_HAMMING_MAX = SIMHASH_CHUNKS - 1
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.fingerprint import simhash_udf
 
-    d = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    d = spread(rep_documents(spark, sf_dir), "doc_id")
     # vectorized numpy kernel — bit-identical to
     # simhash_expr(ts.tokens_expr(text), bits) (tested), ~10× the
     # interpreted 28-fold expression path that this query evaluates on
@@ -270,30 +392,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = d.select(
         "doc_id", simhash_udf(F.col("text"), SIMHASH_DEDUP_BITS).alias("sh")
     )
-    chunk_keys = F.array(
-        *[
-            F.shiftright(F.col("sh"), _CHUNK_BITS * i)
-            .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1))
-            + F.lit(i << _CHUNK_BITS).cast("long")  # chunk-disjoint key space
-            for i in range(SIMHASH_CHUNKS)
-        ]
-    )
-    keyed = sig.select("doc_id", F.explode(chunk_keys).alias("k"))
-    cands = (
-        keyed.alias("x")
-        .join(keyed.alias("y"), F.col("x.k") == F.col("y.k"))
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
-    return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
-        .filter(ham <= SIMHASH_HAMMING_MAX)
-        .select("doc_a", "doc_b", ham.alias("hamming"))
+    return _simhash_pairs(sig, SIMHASH_CHUNKS, _CHUNK_BITS, SIMHASH_HAMMING_MAX)
+
+
+SIMHASH64_CHUNKS = 4
+SIMHASH64_CHUNK_BITS = 16
+SIMHASH64_HAMMING_MAX = SIMHASH64_CHUNKS - 1  # d ≤ 3, pigeonhole-exact
+
+
+@register(
+    "dedup_simhash64",
+    oracle=f"""
+    WITH {_REPS_CTE},
+    th AS (SELECT doc_id,
+                  list_transform(string_split(text, ' '), t -> {fnv64_sql('t')}) AS h
+           FROM reps),
+    d AS (SELECT doc_id, {simhash64_from_hashes_sql('h')} AS sh FROM th)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH64_HAMMING_MAX}
+    """,
+)
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width simhash near-dup pairs (64-bit, 4×16-bit chunks).
+
+    The engine path is the vectorized FNV-1a-64 kernel
+    (functions/fingerprint.py:simhash64_series); the oracle rebuilds the
+    SAME 64-bit fingerprint with HUGEINT integer arithmetic and takes the
+    O(n²) bit_count(xor) ground truth — full value-hash verification of the
+    production shape, not just the 28-bit demo."""
+    from ..functions.fingerprint import simhash64_udf
+
+    d = spread(rep_documents(spark, sf_dir), "doc_id")
+    sig = d.select("doc_id", simhash64_udf(F.col("text")).alias("sh"))
+    return _simhash_pairs(
+        sig, SIMHASH64_CHUNKS, SIMHASH64_CHUNK_BITS, SIMHASH64_HAMMING_MAX
     )
