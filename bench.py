@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash64",
+    "repetition_rules",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_multiprobe",
     "ann_cosine_topk",

@@ -42,7 +42,8 @@ _TOXIC_BYTES = [t.encode("utf-8") for t in TOXIC_TERMS]
 FUSED_SCHEMA = (
     "lang_pred string, avg_logprob double, ppl double, scrub_delta string, "
     "n_words long, mean_word_len double, symbol_ratio double, "
-    "distinct_word_ratio double, stopword_ratio double, ellipsis_count long"
+    "distinct_word_ratio double, stopword_ratio double, ellipsis_count long, "
+    "dup_line_frac double, dup_para_frac double, dup_2gram_frac double"
 )
 
 # combined model: token → id; LP[id] = unigram logprob, LID[id] = language id
@@ -94,6 +95,9 @@ def _fused_series(texts: pd.Series) -> pd.DataFrame:
                 "distinct_word_ratio": empty_f,
                 "stopword_ratio": empty_f,
                 "ellipsis_count": empty_i,
+                "dup_line_frac": empty_f,
+                "dup_para_frac": empty_f,
+                "dup_2gram_frac": empty_f,
             }
         )
 
@@ -205,6 +209,52 @@ def _fused_series(texts: pd.Series) -> pd.DataFrame:
     else:
         ellipsis = np.zeros(n, dtype=np.int64)
 
+    # --- repetition rules (Gopher §A1.1), textstats.py semantics ---
+    # dup_2gram_frac from the raw-case token codes: gram (c_i, c_{i+1}) for
+    # adjacent same-doc positions; per-doc distinct via one composite-key
+    # np.unique (the distinct_word_ratio trick, pairwise). Single-token docs
+    # have one degenerate gram → fraction 0, matching the expression form.
+    V = np.int64(len(uniques))
+    if len(idx) > 1:
+        adj = idx[:-1] == idx[1:]
+    else:
+        adj = np.zeros(0, dtype=bool)
+    if adj.any():
+        gdoc = idx[:-1][adj]
+        gkey = codes[:-1][adj].astype(np.int64) * V + codes[1:][adj]
+        comp = gdoc * (V * V) + gkey
+        distinct2 = np.bincount(
+            (np.unique(comp) // (V * V)).astype(np.int64), minlength=n
+        )
+    else:
+        distinct2 = np.zeros(n, dtype=np.int64)
+    total2 = np.maximum(counts - 1, 1).astype(np.float64)
+    dup_2gram = np.where(counts >= 2, (total2 - distinct2) / total2, 0.0)
+
+    # dup_line_frac / dup_para_frac: only docs actually containing the
+    # separator do any work (fast path: single-part docs are exactly 0, the
+    # common case for space-normalised crawl text); multi-part docs get one
+    # vectorized split + factorize + composite-distinct pass.
+    def _dup_part_frac(sep: str) -> np.ndarray:
+        has = filled.str.contains(sep, regex=False).to_numpy()
+        if not has.any():
+            return np.zeros(n, dtype=np.float64)
+        # regex count of the literal separator (newlines need no escaping);
+        # non-overlapping matches + 1 == Java split(-1) part count
+        total = filled.str.count(sep).to_numpy(dtype=np.int64) + 1
+        parts = filled[has].str.split(sep, regex=False).explode()
+        pidx = parts.index.to_numpy(dtype=np.int64)
+        pcodes, puniq = pd.factorize(parts)
+        pv = np.int64(len(puniq))
+        dcounts = np.bincount(
+            (np.unique(pidx * pv + pcodes) // pv).astype(np.int64), minlength=n
+        )
+        distinct = np.where(has, dcounts, 1)
+        return (total - distinct) / total.astype(np.float64)
+
+    dup_line = _dup_part_frac("\n")
+    dup_para = _dup_part_frac("\n\n")
+
     def _ints(a: np.ndarray) -> pd.Series:
         s = pd.Series(a, dtype="Int64")
         s[na_mask] = pd.NA
@@ -227,6 +277,9 @@ def _fused_series(texts: pd.Series) -> pd.DataFrame:
             "distinct_word_ratio": _floats(distinct_ratio),
             "stopword_ratio": _floats(stopword_ratio),
             "ellipsis_count": _ints(ellipsis),
+            "dup_line_frac": _floats(dup_line),
+            "dup_para_frac": _floats(dup_para),
+            "dup_2gram_frac": _floats(dup_2gram),
         }
     )
 

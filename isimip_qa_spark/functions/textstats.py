@@ -46,6 +46,41 @@ def distinct_word_ratio_expr(text: Column) -> Column:
     return F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
 
 
+def _dup_frac(parts: Column) -> Column:
+    """(|parts| − |distinct parts|) / |parts| — the Gopher duplicate-fraction
+    shape shared by the line / paragraph / n-gram repetition rules."""
+    n = F.size(parts)
+    return (n - F.size(F.array_distinct(parts))).cast("double") / n.cast("double")
+
+
+def dup_line_frac_expr(text: Column) -> Column:
+    """Gopher repetition rule: fraction of lines that duplicate another line
+    (Rae et al. 2021 §A1.1 'duplicate line fraction'). Single-line docs → 0."""
+    return _dup_frac(F.split(text, "\n"))
+
+
+def dup_para_frac_expr(text: Column) -> Column:
+    """Duplicate-paragraph fraction (paragraphs = blank-line-separated)."""
+    return _dup_frac(F.split(text, "\n\n"))
+
+
+def word_2grams_expr(tokens: Column) -> Column:
+    """Word 2-grams (NOT distinct — duplicate counting is the point).
+    Single-token docs get one 'gram' = the token (dup fraction 0)."""
+    n = F.size(tokens)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, 2)),
+    )
+
+
+def dup_2gram_frac_expr(text: Column) -> Column:
+    """Duplicate word-2-gram fraction — the n-gram member of Gopher's
+    repetition family; the one that stays informative on single-line
+    space-normalised text, where the line/paragraph fractions degenerate."""
+    return _dup_frac(word_2grams_expr(tokens_expr(text)))
+
+
 # ASCII punctuation only (never counts CJK/accented letters as symbols);
 # identical semantics in Java regex / RE2 / Python re.
 SYMBOL_CLASS = "[!-/:-@\\[-`{-~]"
@@ -111,6 +146,15 @@ class GopherThresholds:
     min_distinct_word_ratio: float = 0.1
     min_stopword_ratio: float = 0.01
     max_ellipsis: int = 5
+    # Repetition rules (Gopher §A1.1). Line/paragraph thresholds are the
+    # published 0.30; the 2-gram default is inert-by-construction (< 1.0 is
+    # impossible to exceed) because the synthetic space-normalised corpora
+    # are small-vocab (measured median dup-2-gram fraction 0.64 vs ~0.1 on
+    # real web text) — real-crawl deployments set Gopher's 0.20. The rule
+    # is exercised with binding thresholds in tests/test_repetition.py.
+    max_dup_line_frac: float = 0.3
+    max_dup_para_frac: float = 0.3
+    max_dup_2gram_frac: float = 1.0
 
 
 def rule_columns(text: Column, th: GopherThresholds | None = None) -> dict[str, Column]:
@@ -123,6 +167,9 @@ def rule_columns(text: Column, th: GopherThresholds | None = None) -> dict[str, 
         "distinct_word_ratio": distinct_word_ratio_expr(text),
         "stopword_ratio": stopword_ratio_expr(text, EN_STOPWORDS),
         "ellipsis_count": ellipsis_count_expr(text),
+        "dup_line_frac": dup_line_frac_expr(text),
+        "dup_para_frac": dup_para_frac_expr(text),
+        "dup_2gram_frac": dup_2gram_frac_expr(text),
     }
 
 
@@ -140,4 +187,7 @@ def keep_expr(text: Column, th: GopherThresholds | None = None) -> Column:
         & (c["distinct_word_ratio"] >= th.min_distinct_word_ratio)
         & (c["stopword_ratio"] >= th.min_stopword_ratio)
         & (c["ellipsis_count"] <= th.max_ellipsis)
+        & (c["dup_line_frac"] <= th.max_dup_line_frac)
+        & (c["dup_para_frac"] <= th.max_dup_para_frac)
+        & (c["dup_2gram_frac"] <= th.max_dup_2gram_frac)
     )

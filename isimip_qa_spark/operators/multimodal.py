@@ -47,8 +47,48 @@ def sniff_magic(prefix: bytes) -> str:
     return "unknown"
 
 
+try:  # real decode backend when importable (the plots.py backend pattern)
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    HAVE_PIL = False
+
+
+def _decode_image_pil(payload: bytes) -> tuple[int, int, list[float]]:
+    """PIL backend: true (width, height) + 8-bucket luminance histogram of a
+    16×16 grayscale thumbnail as the stand-in feature vector (same shape
+    and normalisation as the stub, so downstream schemas are identical)."""
+    import io
+
+    import numpy as np
+
+    img = _PILImage.open(io.BytesIO(payload))
+    width, height = img.size
+    px = np.asarray(img.convert("L").resize((16, 16)), dtype=np.int64).ravel()
+    feat = np.bincount(px // 32, minlength=8)[:8].astype(np.float64)
+    total = float(feat.sum()) or 1.0
+    return width, height, (feat / total).tolist()
+
+
+def decode_image(payload: bytes) -> tuple[int, int, list[float]]:
+    """Feature-flagged decode: PIL for payloads whose magic bytes identify a
+    real image format (when PIL is importable), the deterministic stub for
+    everything else — so the fixture corpora (html bytes) produce identical
+    values with or without PIL installed, and the suite stays green either
+    way (tests/test_multimodal.py)."""
+    if HAVE_PIL and sniff_magic(payload[:4]) in ("png", "jpeg"):
+        try:
+            return _decode_image_pil(payload)
+        except Exception:  # truncated/corrupt image → deterministic fallback
+            return decode_image_stub(payload)
+    return decode_image_stub(payload)
+
+
 def decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic fake decode: real deployments swap in PIL/libvips here.
+    """Deterministic fake decode: real deployments swap in PIL/libvips here
+    (decode_image above does exactly that when PIL is importable).
 
     Returns (width, height, 8-dim feature) derived from the bytes — stable,
     so tests can assert exact values through the full Spark plumbing.
@@ -79,7 +119,7 @@ def extract_features(media: DataFrame, batch_size: int = 1024) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 payload = bytes(payload)
-                w, h, feat = decode_image_stub(payload)
+                w, h, feat = decode_image(payload)
                 rows.append(
                     (
                         int(mid),

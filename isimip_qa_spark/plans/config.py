@@ -35,6 +35,14 @@ class QAConfig:
     min_distinct_word_ratio: float = 0.1
     min_stopword_ratio: float = 0.01
     max_ellipsis: int = 5
+    # Gopher repetition rules (§A1.1). Line/para thresholds: published
+    # 0.30. The 2-gram default is inert (fraction < 1.0 always) because the
+    # synthetic space-normalised corpora are small-vocab (median dup-2-gram
+    # fraction 0.64); real-crawl deployments set Gopher's 0.20 — binding
+    # thresholds are exercised in tests/test_repetition.py.
+    max_dup_line_frac: float = 0.3
+    max_dup_para_frac: float = 0.3
+    max_dup_2gram_frac: float = 1.0
     # model-based thresholds
     max_ppl: float = 1500.0
     allowed_langs: tuple[str, ...] = ("en", "es", "fr", "de", "zh")

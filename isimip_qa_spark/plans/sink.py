@@ -46,10 +46,14 @@ def _round4_half_up(x: float) -> float:
         Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
     )
 
+# Raw sums/counts ride along with the rounded averages so any rollup
+# (plots.metrics_rollup, grid summaries) can aggregate EXACTLY instead of
+# docs-weighting rounded per-partition partials (VERDICT r2 #7).
 METRICS_SCHEMA = (
     "chunk int, partition_id int, n_docs long, n_keep long, avg_ppl double, "
     "avg_words double, trip_short long, trip_symbol long, n_scrubbed long, "
-    "ts_min timestamp, ts_max timestamp"
+    "ts_min timestamp, ts_max timestamp, "
+    "ppl_sum double, ppl_n long, words_sum long, words_n long"
 )
 
 # stable on-disk schema for the scored rows (everything the JVM writer
@@ -69,6 +73,9 @@ _OUT_COLS = [
     ("distinct_word_ratio", "double"),
     ("stopword_ratio", "double"),
     ("ellipsis_count", "long"),
+    ("dup_line_frac", "double"),
+    ("dup_para_frac", "double"),
+    ("dup_2gram_frac", "double"),
     ("scrubbed", "boolean"),
     ("keep", "boolean"),
 ]
@@ -100,6 +107,9 @@ def _keep_series(s: pd.DataFrame, cfg) -> pd.Series:
         & (s["distinct_word_ratio"] >= cfg.min_distinct_word_ratio)
         & (s["stopword_ratio"] >= cfg.min_stopword_ratio)
         & (s["ellipsis_count"] <= cfg.max_ellipsis)
+        & (s["dup_line_frac"] <= cfg.max_dup_line_frac)
+        & (s["dup_para_frac"] <= cfg.max_dup_para_frac)
+        & (s["dup_2gram_frac"] <= cfg.max_dup_2gram_frac)
         & (s["ppl"] <= cfg.max_ppl)
         & s["lang_pred"].isin(list(cfg.allowed_langs))
     )
@@ -221,6 +231,10 @@ def qa_sink(scored_input: DataFrame, out_dir: str, cfg) -> DataFrame:
                     "n_scrubbed": a["n_scrubbed"],
                     "ts_min": a["ts_min"],
                     "ts_max": a["ts_max"],
+                    "ppl_sum": a["ppl_sum"],
+                    "ppl_n": a["ppl_n"],
+                    "words_sum": a["w_sum"],
+                    "words_n": a["w_n"],
                 }
             )
         if rows:

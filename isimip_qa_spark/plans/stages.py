@@ -54,6 +54,9 @@ def _rules(df: DataFrame, cfg: QAConfig) -> DataFrame:
             "distinct_word_ratio": ts.distinct_word_ratio_expr(text),
             "stopword_ratio": ts.stopword_ratio_expr(text, cfg.stopwords),
             "ellipsis_count": ts.ellipsis_count_expr(text),
+            "dup_line_frac": ts.dup_line_frac_expr(text),
+            "dup_para_frac": ts.dup_para_frac_expr(text),
+            "dup_2gram_frac": ts.dup_2gram_frac_expr(text),
         }
     )
 
@@ -75,6 +78,9 @@ def rules_pass_expr(cfg: QAConfig) -> Column:
         & (F.col("distinct_word_ratio") >= cfg.min_distinct_word_ratio)
         & (F.col("stopword_ratio") >= cfg.min_stopword_ratio)
         & (F.col("ellipsis_count") <= cfg.max_ellipsis)
+        & (F.col("dup_line_frac") <= cfg.max_dup_line_frac)
+        & (F.col("dup_para_frac") <= cfg.max_dup_para_frac)
+        & (F.col("dup_2gram_frac") <= cfg.max_dup_2gram_frac)
     )
 
 
@@ -115,6 +121,9 @@ def _python_scores_fused(df: DataFrame, cfg: QAConfig) -> DataFrame:
             "distinct_word_ratio": s["distinct_word_ratio"],
             "stopword_ratio": s["stopword_ratio"],
             "ellipsis_count": s["ellipsis_count"],
+            "dup_line_frac": s["dup_line_frac"],
+            "dup_para_frac": s["dup_para_frac"],
+            "dup_2gram_frac": s["dup_2gram_frac"],
         }
     )
 
@@ -128,6 +137,7 @@ STAGES: list[Stage] = [
         (
             "n_words", "mean_word_len", "symbol_ratio",
             "distinct_word_ratio", "stopword_ratio", "ellipsis_count",
+            "dup_line_frac", "dup_para_frac", "dup_2gram_frac",
         ),
     ),
     Stage("scrub", _scrub, ("scrub_delta",)),
@@ -144,6 +154,7 @@ FUSED_STAGES: list[Stage] = [
             "lang_pred", "avg_logprob", "ppl", "scrub_delta",
             "n_words", "mean_word_len", "symbol_ratio",
             "distinct_word_ratio", "stopword_ratio", "ellipsis_count",
+            "dup_line_frac", "dup_para_frac", "dup_2gram_frac",
         ),
     ),
     STAGES[4],  # decision

@@ -32,11 +32,12 @@ def metrics_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
         .agg(
             F.sum("n_docs").alias("n_docs"),
             (F.sum("n_keep") / F.sum("n_docs")).alias("keep_rate"),
-            # docs-weighted mean of the per-partition avg_ppl rounds —
-            # presentation-grade (the exact per-doc mean would need raw sums)
-            (F.sum(F.col("avg_ppl") * F.col("n_docs")) / F.sum("n_docs")).alias(
-                "avg_ppl"
-            ),
+            # EXACT per-doc mean from the raw sums carried in
+            # METRICS_SCHEMA (ppl_sum/ppl_n) — not a docs-weighted mean of
+            # rounded partials, which is biased when null-ppl rows are
+            # uneven across partitions (tests/test_plots.py asserts
+            # equality with the direct corpus aggregate)
+            (F.sum("ppl_sum") / F.sum("ppl_n")).alias("avg_ppl"),
             F.sum("n_scrubbed").alias("n_scrubbed"),
         )
         .orderBy("chunk")
@@ -79,21 +80,117 @@ def _render_matplotlib(fig_path, chunks, keep, ppl) -> str:
     return fig_path
 
 
+# --- multi-panel figure grid (the reference's figs × rows × cols layout,
+# /root/reference/isimip_qa/mixins/plots.py:116-158: panel position derived
+# from the scope dimensions) — one panel per (window × cohort) combo -------
+
+
+def grid_panels(spark: SparkSession, out_root: str) -> list[dict]:
+    """Walk a grid output root (run_grid / run_grid_fused layout:
+    out_root/window=W/cohort=C/<hash>/metrics) and roll each combo up to
+    one panel spec. Only the per-chunk rollups reach the driver."""
+    import glob
+
+    panels = []
+    for m in sorted(
+        glob.glob(os.path.join(out_root, "window=*", "cohort=*", "*", "metrics"))
+    ):
+        hashdir = os.path.dirname(m)
+        cohort = os.path.basename(os.path.dirname(hashdir))
+        window = os.path.basename(os.path.dirname(os.path.dirname(hashdir)))
+        rows = metrics_rollup(spark, hashdir).collect()
+        panels.append(
+            {
+                "window": window,
+                "cohort": cohort,
+                "title": f"{window} / {cohort}",
+                "chunks": [r["chunk"] for r in rows],
+                "keep": [float(r["keep_rate"] or 0.0) for r in rows],
+                "ppl": [float(r["avg_ppl"] or 0.0) for r in rows],
+            }
+        )
+    return panels
+
+
+def render_grid(spark: SparkSession, out_root: str, fig_path: str) -> str:
+    """Render every combo of a grid run as one figure: rows = windows,
+    cols = cohorts (the reference's dimension-derived panel layout).
+    Returns the written path; same backend split as render_rollup."""
+    panels = grid_panels(spark, out_root)
+    windows = sorted({p["window"] for p in panels})
+    cohorts = sorted({p["cohort"] for p in panels})
+    os.makedirs(os.path.dirname(fig_path) or ".", exist_ok=True)
+    try:
+        import matplotlib  # noqa: F401
+
+        return _render_grid_matplotlib(fig_path, panels, windows, cohorts)
+    except ImportError:
+        return _render_grid_svg(fig_path, panels, windows, cohorts)
+
+
+def _render_grid_matplotlib(fig_path, panels, windows, cohorts) -> str:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    nrows, ncols = max(len(windows), 1), max(len(cohorts), 1)
+    fig, axes = plt.subplots(
+        nrows, ncols, figsize=(4.5 * ncols, 3 * nrows), squeeze=False
+    )
+    for p in panels:
+        ax = axes[windows.index(p["window"])][cohorts.index(p["cohort"])]
+        ax.bar([str(c) for c in p["chunks"]], p["keep"])
+        ax.set_ylim(0, 1)
+        ax.set_title(p["title"], fontsize=9)
+        ax2 = ax.twinx()
+        ax2.plot([str(c) for c in p["chunks"]], p["ppl"], marker="o", color="#c0504d")
+    fig.suptitle("QA grid: keep rate / perplexity per chunk")
+    fig.tight_layout()
+    fig.savefig(fig_path)
+    plt.close(fig)
+    return fig_path
+
+
+def _render_grid_svg(fig_path, panels, windows, cohorts) -> str:
+    nrows, ncols = max(len(windows), 1), max(len(cohorts), 1)
+    w_total, h_total = _W * ncols, _H * nrows + 28
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w_total}" '
+        f'height="{h_total}" viewBox="0 0 {w_total} {h_total}">',
+        "<title>QA grid: keep rate / perplexity per chunk</title>",
+        f'<rect width="{w_total}" height="{h_total}" fill="white"/>',
+        f'<text x="{w_total / 2}" y="20" font-size="15" '
+        f'text-anchor="middle">QA grid: keep rate / perplexity per chunk</text>',
+    ]
+    for p in panels:
+        x0 = cohorts.index(p["cohort"]) * _W
+        y0 = windows.index(p["window"]) * _H + 28
+        parts.append(f'<g class="panel" transform="translate({x0},{y0})">')
+        parts.extend(
+            _svg_panel_elems(p["chunks"], p["keep"], p["ppl"], p["title"])
+        )
+        parts.append("</g>")
+    parts.append("</svg>")
+    with open(fig_path, "w") as f:
+        f.write("\n".join(parts))
+    return fig_path
+
+
 # --- dependency-free SVG backend -------------------------------------------
 
 _W, _H, _PAD = 640, 360, 48
 
 
-def _render_svg(fig_path, chunks, keep, ppl) -> str:
+def _svg_panel_elems(chunks, keep, ppl, title) -> list[str]:
+    """One keep-rate/perplexity panel as SVG elements in a local
+    (0,0)-(_W,_H) coordinate box — shared by the single figure and the
+    multi-panel grid (wrapped in a translated <g>)."""
     n = max(len(chunks), 1)
     plot_w, plot_h = _W - 2 * _PAD, _H - 2 * _PAD
     bw = plot_w / n * 0.7
     ppl_max = max(ppl + [1.0])
     parts = [
-        f'<svg xmlns="http://www.w3.org/2000/svg" width="{_W}" height="{_H}" '
-        f'viewBox="0 0 {_W} {_H}">',
-        f'<title>QA keep rate / perplexity per chunk</title>',
-        f'<rect width="{_W}" height="{_H}" fill="white"/>',
         # axes
         f'<line x1="{_PAD}" y1="{_H - _PAD}" x2="{_W - _PAD}" y2="{_H - _PAD}" '
         f'stroke="black"/>',
@@ -129,9 +226,22 @@ def _render_svg(fig_path, chunks, keep, ppl) -> str:
         )
     parts.append(
         f'<text x="{_W / 2}" y="24" font-size="14" text-anchor="middle">'
-        f"QA keep rate / perplexity per chunk</text>"
+        f"{title}</text>"
     )
-    parts.append("</svg>")
+    return parts
+
+
+def _render_svg(fig_path, chunks, keep, ppl) -> str:
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{_W}" height="{_H}" '
+        f'viewBox="0 0 {_W} {_H}">',
+        "<title>QA keep rate / perplexity per chunk</title>",
+        f'<rect width="{_W}" height="{_H}" fill="white"/>',
+        *_svg_panel_elems(
+            chunks, keep, ppl, "QA keep rate / perplexity per chunk"
+        ),
+        "</svg>",
+    ]
     with open(fig_path, "w") as f:
         f.write("\n".join(parts))
     return fig_path

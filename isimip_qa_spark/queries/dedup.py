@@ -164,11 +164,15 @@ def _jaccard_pairs_sql(threshold: float) -> str:
     """
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(rep_documents(spark, sf_dir), "doc_id")
+def _shingled_of(reps: DataFrame) -> DataFrame:
+    d = spread(reps, "doc_id")
     return d.select(
         "doc_id", shingles_expr(ts.tokens_expr(F.col("text"))).alias("sh")
     )
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shingled_of(rep_documents(spark, sf_dir))
 
 
 DF_CAP = 64  # stop-shingle cut: drop shingles appearing in > DF_CAP docs
@@ -281,9 +285,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.fingerprint import minhash_bands_udf
 
-    d = spread(rep_documents(spark, sf_dir), "doc_id")
+    # ONE representative subplan feeds both branches (signatures + shingle
+    # sets): identical canonical subtrees, so the reps exchange is computed
+    # once and reused (ReusedExchange), not run per branch
+    reps = rep_documents(spark, sf_dir)
+    d = spread(reps, "doc_id")
     sig = d.select("doc_id", minhash_bands_udf(F.col("text")).alias("bands"))
-    sh64 = _shingled(spark, sf_dir).select(
+    sh64 = _shingled_of(reps).select(
         "doc_id",
         F.array_sort(
             F.array_distinct(F.transform(F.col("sh"), lambda s: F.xxhash64(s)))

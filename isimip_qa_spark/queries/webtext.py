@@ -36,6 +36,15 @@ def _sw_list_sql(words: list[str]) -> str:
 # (reference anchor: per-dataset assessment stats, extractions/*.py).
 # ---------------------------------------------------------------------------
 
+def _dup_frac_sql(parts: str) -> str:
+    return f"(len({parts}) - len(list_distinct({parts})))::DOUBLE / len({parts})"
+
+
+_2GRAMS_SQL = (
+    f"list_transform(range(1, greatest(len({_TOKENS_SQL}) - 1, 1) + 1), "
+    f"i -> ({_TOKENS_SQL})[i] || ' ' || coalesce(({_TOKENS_SQL})[i+1], ''))"
+)
+
 _GOPHER_SQL = f"""
     WITH s AS (
       SELECT doc_id,
@@ -45,7 +54,10 @@ _GOPHER_SQL = f"""
              len(list_distinct({_TOKENS_SQL}))::DOUBLE / len({_TOKENS_SQL}) AS distinct_word_ratio,
              len(list_filter({_TOKENS_LOWER_SQL}, x -> list_contains({_sw_list_sql(ts.EN_STOPWORDS)}, x)))::DOUBLE
                / len({_TOKENS_SQL}) AS stopword_ratio,
-             len(regexp_extract_all(text, '\\.\\.\\.'))::BIGINT AS ellipsis_count
+             len(regexp_extract_all(text, '\\.\\.\\.'))::BIGINT AS ellipsis_count,
+             {_dup_frac_sql("string_split(text, chr(10))")} AS dup_line_frac,
+             {_dup_frac_sql("string_split(text, chr(10) || chr(10))")} AS dup_para_frac,
+             {_dup_frac_sql(_2GRAMS_SQL)} AS dup_2gram_frac
       FROM documents
     )
     SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
@@ -58,7 +70,10 @@ _GOPHER_SQL = f"""
             AND symbol_ratio <= 0.1
             AND distinct_word_ratio >= 0.1
             AND stopword_ratio >= 0.01
-            AND ellipsis_count <= 5) AS keep
+            AND ellipsis_count <= 5
+            AND dup_line_frac <= 0.3
+            AND dup_para_frac <= 0.3
+            AND dup_2gram_frac <= 1.0) AS keep
     FROM s
 """
 
@@ -77,6 +92,50 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cols["stopword_ratio"], 6).alias("stopword_ratio"),
         cols["ellipsis_count"].alias("ellipsis_count"),
         ts.keep_expr(text).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (Rae et al. 2021 §A1.1): duplicate line /
+# paragraph / word-2-gram fractions + the published 0.30 / 0.30 / 0.20
+# trip flags. Pure column expressions (split → array_distinct → size). On
+# the space-normalised fixture corpus the line/para fractions are exactly 0
+# (single-line docs); the 2-gram fraction carries the signal — the
+# `repetitive` flag varies per doc and is value-hash-checked.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repetition_rules",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_dup_frac_sql("string_split(text, chr(10))")} AS dup_line_frac,
+             {_dup_frac_sql("string_split(text, chr(10) || chr(10))")} AS dup_para_frac,
+             {_dup_frac_sql(_2GRAMS_SQL)} AS dup_2gram_frac
+      FROM documents
+    )
+    SELECT doc_id,
+           round(dup_line_frac, 6) AS dup_line_frac,
+           round(dup_para_frac, 6) AS dup_para_frac,
+           round(dup_2gram_frac, 6) AS dup_2gram_frac,
+           (dup_line_frac > 0.3 OR dup_para_frac > 0.3
+            OR dup_2gram_frac > 0.2) AS repetitive
+    FROM s
+    """,
+)
+def repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    line = ts.dup_line_frac_expr(text)
+    para = ts.dup_para_frac_expr(text)
+    gram = ts.dup_2gram_frac_expr(text)
+    return d.select(
+        "doc_id",
+        F.round(line, 6).alias("dup_line_frac"),
+        F.round(para, 6).alias("dup_para_frac"),
+        F.round(gram, 6).alias("dup_2gram_frac"),
+        ((line > 0.3) | (para > 0.3) | (gram > 0.2)).alias("repetitive"),
     )
 
 

@@ -54,6 +54,21 @@ def qa_frame(pages: pd.DataFrame, cfg: QAConfig | None = None) -> pd.DataFrame:
         [len(_ELLIPSIS_RE.findall(t)) for t in texts], dtype=np.int64
     )
 
+    # Gopher repetition rules — independent per-doc formulation
+    def _dup_frac(parts: list[str]) -> float:
+        return (len(parts) - len(set(parts))) / len(parts)
+
+    out["dup_line_frac"] = [_dup_frac(t.split("\n")) for t in texts]
+    out["dup_para_frac"] = [_dup_frac(t.split("\n\n")) for t in texts]
+    out["dup_2gram_frac"] = [
+        _dup_frac(
+            [f"{tk[i]} {tk[i + 1]}" for i in range(len(tk) - 1)]
+            if len(tk) >= 2
+            else [t]
+        )
+        for t, tk in zip(texts, tok_lists)
+    ]
+
     # language-ID: stop-word occurrence argmax, LANG_ORDER tie-break
     lang_sets = {lg: set(ws) for lg, ws in LANG_STOPWORDS.items()}
     preds = []
@@ -89,6 +104,9 @@ def qa_frame(pages: pd.DataFrame, cfg: QAConfig | None = None) -> pd.DataFrame:
         & (out["distinct_word_ratio"] >= cfg.min_distinct_word_ratio)
         & (out["stopword_ratio"] >= cfg.min_stopword_ratio)
         & (out["ellipsis_count"] <= cfg.max_ellipsis)
+        & (out["dup_line_frac"] <= cfg.max_dup_line_frac)
+        & (out["dup_para_frac"] <= cfg.max_dup_para_frac)
+        & (out["dup_2gram_frac"] <= cfg.max_dup_2gram_frac)
         & (out["ppl"] <= cfg.max_ppl)
         & (out["lang_pred"].isin(list(cfg.allowed_langs)))
     )

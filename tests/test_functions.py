@@ -129,7 +129,10 @@ def test_fused_equals_unfused(spark, pages_sdf):
     sample = pages_sdf.limit(300)
     fused = apply_stages(sample, cfg, fused=True).toPandas().sort_values("url")
     plain = apply_stages(sample, cfg, fused=False).toPandas().sort_values("url")
-    for col in ["lang_pred", "avg_logprob", "ppl", "text_scrubbed", "keep", "scrubbed"]:
+    for col in [
+        "lang_pred", "avg_logprob", "ppl", "text_scrubbed", "keep", "scrubbed",
+        "dup_line_frac", "dup_para_frac", "dup_2gram_frac",
+    ]:
         assert fused[col].tolist() == plain[col].tolist(), col
 
 

@@ -33,3 +33,55 @@ def test_render_rollup_figure(spark, pages_sdf, tmp_path):
     # matplotlib branch (not in this container) produces a binary/figure
     # file — existence + nonzero size is the contract there
     assert os.path.getsize(fig) > 500
+
+
+def test_rollup_avg_ppl_exact(spark, pages_sdf, tmp_path):
+    """VERDICT r2 #7: the rollup's avg_ppl must equal the DIRECT corpus
+    aggregate (not a docs-weighted mean of rounded partials, which is
+    biased when null-ppl rows are uneven across partitions)."""
+    from pyspark.sql import functions as F
+
+    from isimip_qa_spark.plans.pipeline import apply_stages, read_scored
+
+    out = str(tmp_path / "qa")
+    cfg = QAConfig(n_chunks=2, n_partitions=4, checkpoint_mode="single_pass")
+    run_qa(spark, pages_sdf, cfg, out)
+
+    roll = {r["chunk"]: r["avg_ppl"] for r in metrics_rollup(spark, out).collect()}
+    direct = {
+        r["chunk"]: r["m"]
+        for r in read_scored(spark, out)
+        .groupBy("chunk")
+        .agg(F.avg("ppl").alias("m"))
+        .collect()
+    }
+    assert set(roll) == set(direct)
+    for c in roll:
+        assert abs(roll[c] - direct[c]) <= 1e-12 * max(1.0, abs(direct[c])), c
+
+
+def test_render_grid_multi_panel(spark, pages_sdf, tmp_path):
+    """VERDICT r2 #8: a grid run renders as a figs × rows × cols panel
+    layout — one panel per (window × cohort) combo, on either backend."""
+    from isimip_qa_spark.plans.grid import run_grid_fused
+    from isimip_qa_spark.plots import grid_panels, render_grid
+
+    out_root = str(tmp_path / "grid")
+    cfg = QAConfig(n_chunks=2, n_partitions=4, checkpoint_mode="single_pass")
+    windows = [None, ("2024-01-01 00:00:00", "2024-01-10 00:00:00")]
+    cohorts = [("en", "es"), ("fr",)]
+    run_grid_fused(spark, pages_sdf, cfg, windows, cohorts, out_root)
+
+    panels = grid_panels(spark, out_root)
+    assert len(panels) == 4  # one per combo
+    assert {p["cohort"] for p in panels} == {"cohort=en-es", "cohort=fr"}
+
+    fig = render_grid(spark, out_root, str(tmp_path / "figs" / "grid.svg"))
+    assert os.path.getsize(fig) > 500
+    with open(fig, "rb") as f:
+        body = f.read()
+    if body.lstrip().startswith(b"<svg"):
+        text = body.decode()
+        assert text.count('class="panel"') == 4
+        # every combo contributes its own bars
+        assert text.count('class="keep-bar"') == 4 * 2  # 2 chunks per combo
