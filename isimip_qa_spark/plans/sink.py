@@ -116,6 +116,22 @@ def _keep_series(s: pd.DataFrame, cfg) -> pd.Series:
     return expr.fillna(False).astype(bool)
 
 
+def _make_writer(pq, path: str, schema):
+    """Sink parquet writer. Experiment hooks (SPARK_GRAFT_ZSTD_LEVEL,
+    SPARK_GRAFT_PAGE_KB) expose the codec level / data-page size that the
+    2->8 scaling study sweeps (BASELINE.md): compression CPU scales with
+    cores, output-byte bandwidth does not, so the codec point shifts the
+    compute/bandwidth mix."""
+    kw = {"compression": "zstd"}
+    lvl = os.environ.get("SPARK_GRAFT_ZSTD_LEVEL")
+    if lvl:
+        kw["compression_level"] = int(lvl)
+    page_kb = os.environ.get("SPARK_GRAFT_PAGE_KB")
+    if page_kb:
+        kw["data_page_size"] = int(page_kb) * 1024
+    return pq.ParquetWriter(path, schema, **kw)
+
+
 def qa_sink(scored_input: DataFrame, out_dir: str, cfg) -> DataFrame:
     """Attach the sink to a repartitioned pages DataFrame (columns url,
     warc_ts, text, lang, chunk). Returns the (lazy) metrics DataFrame —
@@ -179,7 +195,7 @@ def qa_sink(scored_input: DataFrame, out_dir: str, cfg) -> DataFrame:
                             pass
                     tmp = os.path.join(cdir, f".part-{pid:05d}-{attempt}.tmp")
                     final = os.path.join(cdir, f"part-{pid:05d}.parquet")
-                    w = (pq.ParquetWriter(tmp, schema, compression="zstd"), tmp, final)
+                    w = (_make_writer(pq, tmp, schema), tmp, final)
                     writers[ck] = w
                     acc[ck] = {
                         "n_docs": 0, "n_keep": 0, "ppl_sum": 0.0, "ppl_n": 0,

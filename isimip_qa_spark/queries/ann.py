@@ -34,9 +34,9 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact-duplicate representatives (min vec_id per byte-identical vector) —
 # the same "dedup_exact first" mass-duplicate guard as queries/dedup.py: a
 # cluster of k identical embeddings contributes ONE vector to LSH blocking
-# instead of k² candidate pairs. One 8-byte-key exchange (xxhash64 over the
-# float array); in-group verification is local (window on (vh, v) satisfied
-# by hashpartitioning(vh)). Oracle twin: _EMB_REPS_CTE.
+# instead of k² candidate pairs. One hash-agg exchange grouped on the raw
+# vector with map-side partial aggregation (exact_reps shape). Oracle twin:
+# _EMB_REPS_CTE.
 _EMB_REPS_CTE = (
     "ereps AS (SELECT min(vec_id) AS vec_id, embedding "
     "FROM embeddings GROUP BY embedding)"
@@ -44,14 +44,10 @@ _EMB_REPS_CTE = (
 
 
 def _emb_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spread(read_table(spark, sf_dir, "embeddings"), "vec_id").withColumn(
-        "vh", F.xxhash64("embedding")
-    )
-    e = e.repartition(F.col("vh"))
-    w = Window.partitionBy("vh", "embedding").orderBy("vec_id")
+    e = read_table(spark, sf_dir, "embeddings")
     return (
-        e.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        e.groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"))
         .select("vec_id", _vec_d("embedding").alias("v"))
     )
 

@@ -15,10 +15,10 @@ boilerplate pages sharing every blocking key → k² candidate rows):
    doc_id per identical text) — the composed-pipeline contract "dedup_exact
    first". A byte-identical cluster of any size contributes ONE doc to
    blocking; its members are already reported by `dedup_exact` (dup_rank /
-   group_size). The representative selection is the same 8-byte-key shuffle
-   shape as dedup_exact and is mirrored EXACTLY in each DuckDB oracle (a
-   min(doc_id)-per-text CTE), so the contract is oracle-enforced, not
-   advisory.
+   group_size). The representative selection is one map-side-combining
+   hash-agg exchange (exact_reps) and is mirrored EXACTLY in each DuckDB
+   oracle (a min(doc_id)-per-text CTE), so the contract is oracle-enforced,
+   not advisory.
 2. Residual near-identical-but-distinct clusters are bounded by a blocking
    key frequency cap (`cap_hot_keys`, BUCKET_CAP): keys shared by more than
    BUCKET_CAP representatives are dropped before the self-join, bounding
@@ -87,8 +87,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Exact-duplicate representatives: min doc_id per identical text — the
 # "dedup_exact first" composition every near-dup query below builds on.
-# Same physical shape as dedup_exact (one 8-byte-key exchange, local
-# windows); the oracle twin is `_REPS_CTE`.
+# The oracle twin is `_REPS_CTE`.
 _REPS_CTE = (
     "reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)"
 )
@@ -97,14 +96,18 @@ _REPS_CTE = (
 def exact_reps(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """min-id representative per identical text (DataFrame-level core, so
-    planted-cluster tests can drive it directly)."""
+    planted-cluster tests can drive it directly).
+
+    Shape: ONE hash-agg exchange on (xxhash64(text), text) with map-side
+    partial aggregation — a mass-duplicate cluster collapses to one row per
+    upstream partition BEFORE the shuffle, so the exchange never carries a
+    cluster's full k rows. No sort, no window (a groupBy min beats a
+    row_number window here: same distribution requirement, no ordering)."""
     d = docs.withColumn("_th", F.xxhash64(text_col))
-    d = d.repartition(F.col("_th"))
-    w = Window.partitionBy("_th", text_col).orderBy(id_col)
     return (
-        d.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_th")
+        d.groupBy("_th", text_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, text_col)
     )
 
 
@@ -115,12 +118,18 @@ def rep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cap_hot_keys(keyed: DataFrame, key: str = "k", cap: int = BUCKET_CAP) -> DataFrame:
     """Drop blocking keys whose frequency exceeds `cap` before a candidate
     self-join (the DF-cap discipline from the shingle join, applied to every
-    LSH family member). The hot set is tiny by construction — ≤ n_keys/cap
-    entries, and in practice only mass near-identical clusters produce one —
-    so it broadcasts. Recall contract in the module docstring."""
-    freq = keyed.groupBy(key).agg(F.count(F.lit(1)).alias("_f"))
-    hot = freq.filter(F.col("_f") > cap).select(key)
-    return keyed.join(F.broadcast(hot), key, "left_anti")
+    LSH family member). Formulated as a count-window over the key: the
+    window's exchange is the SAME hashpartitioning(key) the self-join needs,
+    so the cap costs zero extra shuffles (both join sides reuse the one
+    exchange), and no frequency table is ever materialised — at 10^12 rows
+    a separate groupBy-freq + anti-join would itself be a full-size
+    aggregation. Recall contract in the module docstring."""
+    w = Window.partitionBy(key)
+    return (
+        keyed.withColumn("_f", F.count(F.lit(1)).over(w))
+        .filter(F.col("_f") <= cap)
+        .drop("_f")
+    )
 
 
 def candidate_pairs(keyed: DataFrame, id_col: str, key: str = "k",
@@ -165,8 +174,8 @@ def _jaccard_pairs_sql(threshold: float) -> str:
 
 
 def _shingled_of(reps: DataFrame) -> DataFrame:
-    d = spread(reps, "doc_id")
-    return d.select(
+    # no spread: the reps groupBy exchange already distributes the rows
+    return reps.select(
         "doc_id", shingles_expr(ts.tokens_expr(F.col("text"))).alias("sh")
     )
 
@@ -241,6 +250,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.transform(F.col("sh"), lambda s: F.xxhash64(s))).alias("k"),
     )
+    # DF cap via frequency table + broadcast anti-join (NOT the window cap
+    # used for the band/chunk/bucket keys): shingle keys are high-cardinality
+    # (~|corpus shingles| distinct), so a count-window over k would sort the
+    # whole exploded table, while the hot-shingle set stays tiny (boilerplate
+    # n-grams only) and broadcasts. Measured 2-3× faster here; the window cap
+    # wins for the LOW-cardinality LSH blocking keys where the join reuses
+    # its exchange.
     dfreq = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
     hot = dfreq.filter(F.col("df") > DF_CAP).select("k")
     kept = keyed.join(F.broadcast(hot), "k", "left_anti")
@@ -289,8 +305,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sets): identical canonical subtrees, so the reps exchange is computed
     # once and reused (ReusedExchange), not run per branch
     reps = rep_documents(spark, sf_dir)
-    d = spread(reps, "doc_id")
-    sig = d.select("doc_id", minhash_bands_udf(F.col("text")).alias("bands"))
+    sig = reps.select("doc_id", minhash_bands_udf(F.col("text")).alias("bands"))
     sh64 = _shingled_of(reps).select(
         "doc_id",
         F.array_sort(
@@ -354,7 +369,17 @@ def _chunk_keys(sh: Column, n_chunks: int, chunk_bits: int) -> Column:
 
 def _simhash_pairs(sig: DataFrame, n_chunks: int, chunk_bits: int,
                    hamming_max: int) -> DataFrame:
-    """sig(doc_id, sh) → verified pairs at Hamming ≤ hamming_max."""
+    """sig(doc_id, sh) → verified pairs at Hamming ≤ hamming_max.
+
+    The repartition below is a deliberate materialisation barrier: the sig
+    subtree (scan + fingerprint kernel) feeds THREE plan branches (the
+    candidate keys and both verify sides); an Exchange node directly above
+    it is canonically identical in all three, so adaptive execution reuses
+    the shuffle stage at runtime and the other branches read the 16-byte
+    (doc_id, sh) rows instead of re-scanning + re-hashing the corpus
+    (measured ~3x on this query vs the barrier-free plan; a persist() of
+    the sig table was also tried and measured slower at bench scale)."""
+    sig = sig.repartition(F.col("doc_id"))
     keyed = sig.select(
         "doc_id", F.explode(_chunk_keys(F.col("sh"), n_chunks, chunk_bits)).alias("k")
     )
@@ -392,7 +417,7 @@ def _simhash_pairs(sig: DataFrame, n_chunks: int, chunk_bits: int,
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.fingerprint import simhash_udf
 
-    d = spread(rep_documents(spark, sf_dir), "doc_id")
+    d = rep_documents(spark, sf_dir)
     # vectorized numpy kernel — bit-identical to
     # simhash_expr(ts.tokens_expr(text), bits) (tested), ~10× the
     # interpreted 28-fold expression path that this query evaluates on
@@ -432,7 +457,7 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     production shape, not just the 28-bit demo."""
     from ..functions.fingerprint import simhash64_udf
 
-    d = spread(rep_documents(spark, sf_dir), "doc_id")
+    d = rep_documents(spark, sf_dir)
     sig = d.select("doc_id", simhash64_udf(F.col("text")).alias("sh"))
     return _simhash_pairs(
         sig, SIMHASH64_CHUNKS, SIMHASH64_CHUNK_BITS, SIMHASH64_HAMMING_MAX

@@ -52,13 +52,24 @@ def get_spark(
     conf = {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # keep parallelismFirst effective on SMALL inputs: the default 1 MiB
+        # minPartitionSize floor coalesces a few-MB post-agg stage to ~3
+        # partitions, serialising every downstream compute-heavy expression
+        # (measured: 5× on the shingle explode after a groupBy). 64 KiB keeps
+        # defaultParallelism partitions at bench scale; at 100-TB scale the
+        # 64 MiB advisory size dominates and behavior is unchanged.
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.shuffle.partitions": str(
             shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
         ),
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+        # experiment hook: Arrow batch rows trade per-batch overhead against
+        # kernel working-set size (cache pressure at high core counts)
+        "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
+            "SPARK_GRAFT_ARROW_BATCH", "4096"
+        ),
         # 128 MiB splits: the sweet spot for wide parquet scans of page tables.
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
