@@ -32,7 +32,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--cohorts", default=None,
-        help="grid: cohorts 'en,es;fr;all' (overrides --langs)",
+        help="grid: cohorts 'en,es;fr;all' — inline lang lists or (name-"
+        "prefixes of) named cohorts from --cohorts-file (overrides --langs)",
+    )
+    p.add_argument(
+        "--cohorts-file", action="append", default=None, metavar="PATH_OR_URL",
+        help="cohort-list source(s): JSON list of {name, langs} at a local "
+        "path or http(s) URL (the reference's remote region list, "
+        "config.py:101-103); repeatable, later lists shadow by name",
     )
     p.add_argument("--no-resume", action="store_true")
     p.add_argument(
@@ -90,15 +97,19 @@ def main(argv=None) -> int:
     pages = spark.read.parquet(args.input)
     if args.windows or args.cohorts:
         from .plans import run_grid
-
-        def _coh(tok):
-            return None if tok in ("all", "") else tuple(tok.split(","))
+        from .sources.cohorts import fetch_cohorts, resolve_cohort_tokens
 
         windows = [_parse_window(t) for t in (args.windows or "all").split(";")]
-        cohorts = [_coh(t) for t in (args.cohorts or "all").split(";")]
+        cohort_list = fetch_cohorts(args.cohorts_file)
+        resolved = resolve_cohort_tokens(
+            (args.cohorts or "all").split(";"), cohort_list
+        )
+        names = [nm for nm, _ in resolved]
+        cohorts = [langs for _, langs in resolved]
         summary = run_grid(
             spark, pages, cfg, windows, cohorts, args.output,
             resume=not args.no_resume, cache_base=args.cache,
+            cohort_names=names,
         )
     else:
         summary = run_qa(

@@ -40,12 +40,14 @@ Window = tuple[str, str] | None
 Cohort = tuple[str, ...] | None
 
 
-def combo_label(window: Window, cohort: Cohort) -> str:
+def combo_label(window: Window, cohort: Cohort, name: str | None = None) -> str:
     """Deterministic human-readable directory stem for one grid cell (the
     reference's artifact-path templating, models.py:29-37: scope values
-    formatted into the artifact name, `_global_` for the no-op scope)."""
+    formatted into the artifact name, `_global_` for the no-op scope).
+    `name`: a named cohort (sources/cohorts.py — the reference's region
+    specifier) is templated by its name, not its lang list."""
     w = "all" if window is None else f"{window[0][:10]}_{window[1][:10]}"
-    c = "global" if cohort is None else "-".join(cohort)
+    c = name if name else ("global" if cohort is None else "-".join(cohort))
     return f"window={w}/cohort={c}"
 
 
@@ -53,17 +55,21 @@ def plan_grid(
     base_cfg: QAConfig,
     windows: list[Window],
     cohorts: list[Cohort],
+    cohort_names: list[str | None] | None = None,
 ) -> list[tuple[str, QAConfig, bool]]:
     """Cartesian product of scopes → (label, config, applicable) combos.
 
     `applicable` is False when the cohort cannot intersect allowed_langs —
-    the capability-predicate prune; such combos are reported, never run."""
+    the capability-predicate prune; such combos are reported, never run.
+    `cohort_names` (parallel to `cohorts`): display/artifact names for
+    named cohorts fetched from a cohort-list source."""
+    names = cohort_names or [None] * len(cohorts)
     out = []
     for w in windows:
-        for c in cohorts:
+        for c, nm in zip(cohorts, names):
             cfg = dataclasses.replace(base_cfg, window=w, cohort_langs=c)
             applicable = c is None or bool(set(c) & set(cfg.allowed_langs))
-            out.append((combo_label(w, c), cfg, applicable))
+            out.append((combo_label(w, c, nm), cfg, applicable))
     return out
 
 
@@ -84,6 +90,7 @@ def run_grid(
     resume: bool = True,
     hot_hosts: list[str] | None = None,
     cache_base: str | None = None,
+    cohort_names: list[str | None] | None = None,
 ) -> dict:
     """Run every applicable (window × cohort) combo, resuming completed or
     partial combos from their manifests. An exception mid-grid propagates
@@ -94,7 +101,7 @@ def run_grid(
     own label/config-hash subtree there and fetches completed chunks
     instead of recomputing (checkpoint.fetch_chunk)."""
     t0 = time.time()
-    combos = plan_grid(base_cfg, windows, cohorts)
+    combos = plan_grid(base_cfg, windows, cohorts, cohort_names)
 
     # one corpus-level scan for skew stats, shared by all combos — detected
     # LAZILY via a memoized provider that run_qa calls only when a combo
@@ -309,13 +316,14 @@ def run_grid_fused(
     out_root: str,
     resume: bool = True,
     hot_hosts: list[str] | None = None,
+    cohort_names: list[str | None] | None = None,
 ) -> dict:
     """Window-fused grid: corpus scan/score job count == n_windows, never
     n_combos (asserted in tests/test_grid_fused.py). See the design note
     above; resume granularity is per window chunk (staging) + per combo
     (manifests)."""
     t0 = time.time()
-    combos = plan_grid(base_cfg, windows, cohorts)
+    combos = plan_grid(base_cfg, windows, cohorts, cohort_names)
 
     detected: list[list[str]] = []
 
