@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash64",
+    "dedup_clusters",
     "repetition_rules",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_multiprobe",

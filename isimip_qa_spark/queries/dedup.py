@@ -297,14 +297,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle (O(n²) string Jaccard) verifies it holds. (A 31-bit structural
 # token hash was tried here and REJECTED: same-(length,first,last) shingles
 # collide often enough to shift set cardinalities and fail the oracle.)
-@register("dedup_minhash_lsh", oracle=_jaccard_pairs_sql(JACCARD_THRESHOLD))
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_pairs(reps: DataFrame) -> DataFrame:
+    """Verified near-dup pairs (doc_a, doc_b, jaccard) over representatives
+    — the LSH-candidates + exact-verify core shared by dedup_minhash_lsh
+    and dedup_clusters."""
     from ..functions.fingerprint import minhash_bands_udf
 
     # ONE representative subplan feeds both branches (signatures + shingle
     # sets): identical canonical subtrees, so the reps exchange is computed
     # once and reused (ReusedExchange), not run per branch
-    reps = rep_documents(spark, sf_dir)
     sig = reps.select("doc_id", minhash_bands_udf(F.col("text")).alias("bands"))
     sh64 = _shingled_of(reps).select(
         "doc_id",
@@ -324,6 +325,77 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id_a").alias("doc_a"),
         F.col("doc_id_b").alias("doc_b"),
         F.round(jac, 6).alias("jaccard"),
+    )
+
+
+@register("dedup_minhash_lsh", oracle=_jaccard_pairs_sql(JACCARD_THRESHOLD))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs(rep_documents(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Cluster assignment: near-dup pairs are only half a dedup pipeline —
+# similarity is not transitive (A~B, B~C, A≁C), so keep/drop needs the
+# CONNECTED COMPONENT, not the pair list. dedup_clusters composes the full
+# chain: exact reps → minhash-verified pairs → large-star/small-star
+# components (operators/components.py) → every document labeled with its
+# cluster id (the minimum doc_id reachable through exact or near duplicate
+# links); a trainer keeps exactly the docs where doc_id == cluster_id.
+# The DuckDB twin computes ground truth with a recursive transitive-closure
+# CTE over the exact O(n²) Jaccard pairs — it verifies BOTH the LSH recall
+# and the component labels.
+# ---------------------------------------------------------------------------
+
+
+def _clusters_sql(threshold: float) -> str:
+    sh = shingles_sql("string_split(text, ' ')")
+    return f"""
+    WITH RECURSIVE {_REPS_CTE},
+    d AS (SELECT doc_id, {sh} AS sh FROM reps),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold}
+    ),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+    r(a, b) AS (
+      SELECT a, a FROM (SELECT a FROM e UNION SELECT b FROM e)
+      UNION
+      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM r GROUP BY a)
+    SELECT doc0.doc_id,
+           coalesce(comp.cluster_id, reps.doc_id) AS cluster_id
+    FROM documents doc0
+    JOIN reps ON reps.text = doc0.text
+    LEFT JOIN comp ON comp.doc_id = reps.doc_id
+    """
+
+
+@register("dedup_clusters", oracle=_clusters_sql(JACCARD_THRESHOLD))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    reps = exact_reps(docs)
+    pairs = _minhash_pairs(reps)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    # exact-dup members inherit their representative's component; reps in
+    # no near-dup pair are their own cluster. The member→rep join must
+    # match on text itself (a 64-bit hash-only join would merge colliding
+    # distinct texts — the same collision discipline dedup_exact keeps), so
+    # like exact_reps it pays exactly one text-keyed exchange.
+    rep_of = docs.select("doc_id", "text").join(
+        reps.select(F.col("doc_id").alias("rep"), "text"), "text"
+    ).drop("text")
+    return (
+        rep_of.join(comp, rep_of["rep"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("rep")).alias("cluster_id"),
+        )
     )
 
 
