@@ -36,6 +36,6 @@ def load_all() -> None:
     global _loaded
     if _loaded:
         return
-    from . import ann, dedup, extras, reference_ops, webtext  # noqa: F401
+    from . import ann, dedup, extras, mixing, reference_ops, webtext  # noqa: F401
 
     _loaded = True

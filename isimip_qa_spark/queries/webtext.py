@@ -7,7 +7,7 @@ DuckDB. Tokenisation contract everywhere: split on single space.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import read_table
@@ -259,28 +259,31 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "quality_score",
-    oracle=f"""
-    SELECT doc_id,
-           round(
+# cross-engine twins shared with the mixing queries (queries/mixing.py)
+QUALITY_SQL = f"""round(
              0.4 * least(len({_TOKENS_SQL}) / 100.0, 1.0)
            + 0.3 * (len(list_distinct({_TOKENS_SQL}))::DOUBLE / len({_TOKENS_SQL}))
            + 0.3 * least((len(list_filter({_TOKENS_LOWER_SQL}, x -> list_contains({_sw_list_sql(ts.EN_STOPWORDS)}, x)))::DOUBLE / len({_TOKENS_SQL})) / 0.1, 1.0)
-           , 6) AS quality
-    FROM documents
-    """,
-)
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
-    text = F.col("text")
+           , 6)"""
+
+
+def quality_expr(text: Column) -> Column:
     nw = ts.n_words_expr(text)
     q = (
         0.4 * F.least(nw / 100.0, F.lit(1.0))
         + 0.3 * ts.distinct_word_ratio_expr(text)
         + 0.3 * F.least(ts.stopword_ratio_expr(text, ts.EN_STOPWORDS) / 0.1, F.lit(1.0))
     )
-    return d.select("doc_id", F.round(q, 6).alias("quality"))
+    return F.round(q, 6)
+
+
+@register(
+    "quality_score",
+    oracle=f"SELECT doc_id, {QUALITY_SQL} AS quality FROM documents",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_expr(F.col("text")).alias("quality"))
 
 
 # ---------------------------------------------------------------------------
