@@ -27,9 +27,28 @@ def spread(df, *cols):
     no-op there (guard: input partitions >= defaultParallelism). On small
     inputs — one parquet file ⇒ one split — per-row kernels (shingling,
     minhash signatures, hyperplane buckets) would otherwise run in a single
-    task; one cheap exchange spreads them across all cores."""
+    task; one cheap exchange spreads them across all cores.
+
+    Split estimate from the scan's file list + sizes (driver-side metadata
+    only) — NOT `df.rdd.getNumPartitions()`, which builds the whole RDD
+    graph per query on the driver (r2 verdict watch item). Unknown
+    filesystems are assumed big (no exchange added)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    files = df.inputFiles()
+    est = len(files)
+    if 0 < est < target:
+        import os
+
+        try:
+            split_bytes = 128 << 20  # spark.sql.files.maxPartitionBytes
+            total = sum(
+                os.path.getsize(f[5:] if f.startswith("file:") else f)
+                for f in files
+            )
+            est = max(est, -(-total // split_bytes))
+        except OSError:
+            est = target  # non-local FS: assume enough splits
+    if est == 0 or est >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
