@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_multiprobe",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "embed_norm_stats",
 ]
 

@@ -387,3 +387,147 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(F.sqrt(_dot(v, v))), 6).alias("avg_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF top-k: the coarse-quantizer scale path that complements the LSH one.
+#
+# Structure (the real IVF pipeline): (1) a small centroid table, (2) every
+# corpus vector assigned to its nearest centroid's cell, (3) a query probes
+# its N_PROBE nearest cells, (4) exact cosine re-rank over only the probed
+# cells' members. At 10^12 rows the cell id becomes the stored index's
+# partition key (write once with partitionBy(cell)); a probe then PRUNES the
+# scan to nprobe/K of the corpus instead of filtering it — candidates per
+# query are corpus·nprobe/K with no full pass at query time.
+#
+# Centroid "training" is deterministic seeding (the K vectors right after
+# the query ids, collected driver-side — a K×DIM broadcast, like any
+# trained-model artifact) so the DuckDB twin reproduces the whole algorithm
+# exactly; a production deployment would swap in k-means|| centroids
+# (pyspark.ml KMeans) without touching the assignment/probe/re-rank
+# plumbing, which is what this query pins down. Assignment ranking is
+# bit-exact across engines: the kernel's cumsum fold is the same IEEE-754
+# op order as the SQL list_reduce fold (cf. _bucket_keys_series).
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def _ivf_probe_series(embs, centroid_ids, centroids, nprobe):
+    """Per row: the `nprobe` centroid ids nearest by cosine (ties → lower
+    centroid id; stable argsort over ids sorted ascending)."""
+    import numpy as np
+    import pandas as pd
+
+    if len(embs) == 0:
+        return pd.Series([], dtype="object")
+    V = np.vstack(embs.to_numpy())  # (m, DIM) float64
+    C = np.asarray(centroids, dtype=np.float64)  # (K, DIM)
+    vv = np.cumsum(V * V, axis=1)[:, -1]
+    cc = np.cumsum(C * C, axis=1)[:, -1]
+    sims = np.empty((V.shape[0], C.shape[0]))
+    for k in range(C.shape[0]):
+        dots = np.cumsum(V * C[k], axis=1)[:, -1]
+        sims[:, k] = dots / (np.sqrt(vv) * np.sqrt(cc[k]))
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    ids = np.asarray(centroid_ids, dtype=np.int64)
+    return pd.Series(list(ids[order]), dtype="object")
+
+
+def _ivf_probe_udf(vec: Column, centroid_ids, centroids, nprobe: int) -> Column:
+    def _k(embs):
+        return _ivf_probe_series(embs, centroid_ids, centroids, nprobe)
+
+    return F.pandas_udf(_k, "array<long>")(vec)
+
+
+_IVF_ASG_SQL = f"""
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}),
+    asg AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS r
+      FROM (
+        SELECT e.vec_id, c.cid,
+               {_dot_sql('e.v', 'c.cv')} /
+                 (sqrt({_dot_sql('e.v', 'e.v')}) * sqrt({_dot_sql('c.cv', 'c.cv')})) AS sim
+        FROM e CROSS JOIN c
+      )
+    )"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_D_SQL} AS v FROM embeddings),
+    {_IVF_ASG_SQL},
+    cells AS (SELECT vec_id, cid AS cell FROM asg WHERE r = 1),
+    probes AS (SELECT vec_id AS query_id, cid AS cell FROM asg
+               WHERE r <= {N_PROBE} AND vec_id < {N_QUERIES}),
+    sims AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             {_dot_sql('q.v', 'e.v')} /
+               (sqrt({_dot_sql('q.v', 'q.v')}) * sqrt({_dot_sql('e.v', 'e.v')})) AS sim
+      FROM probes p
+      JOIN cells ce ON ce.cell = p.cell
+      JOIN e ON e.vec_id = ce.vec_id AND e.vec_id != p.query_id
+      JOIN e q ON q.vec_id = p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    crows = (
+        e.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+        )
+        .orderBy("vec_id")
+        .collect()
+    )  # K×DIM doubles — the broadcast "trained" coarse quantizer
+    cids = [r["vec_id"] for r in crows]
+    cvecs = [list(r["v"]) for r in crows]
+
+    assigned = e.withColumn(
+        "cell", _ivf_probe_udf(F.col("v"), cids, cvecs, 1).getItem(0)
+    )
+    q = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(
+                _ivf_probe_udf(F.col("v"), cids, cvecs, N_PROBE)
+            ).alias("qcell"),
+        )
+    )
+    cands = assigned.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    sims = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            _dot(F.col("qv"), F.col("v"))
+            / (
+                F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(_dot(F.col("v"), F.col("v")))
+            )
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )

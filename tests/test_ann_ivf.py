@@ -1,0 +1,47 @@
+"""IVF probe kernel: exact-fold argmax semantics (the oracle pins the full
+query; this pins the kernel's tie/order contract in isolation)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from isimip_qa_spark.queries.ann import _ivf_probe_series
+
+
+def _brute(v, centroids):
+    sims = []
+    for c in centroids:
+        dot = 0.0
+        vv = 0.0
+        cc = 0.0
+        for x, y in zip(v, c):
+            dot += x * y
+        for x in v:
+            vv += x * x
+        for y in c:
+            cc += y * y
+        sims.append(dot / (np.sqrt(vv) * np.sqrt(cc)))
+    return sims
+
+
+def test_probe_order_and_ties():
+    rng = np.random.RandomState(3)
+    cents = [list(rng.randn(8)) for _ in range(4)]
+    cids = [10, 11, 12, 13]
+    vecs = [list(rng.randn(8)) for _ in range(6)]
+    vecs.append(list(cents[2]))          # exact centroid hit
+    vecs.append([0.0] * 7 + [1e-300])    # near-degenerate vector
+    embs = pd.Series([np.array(v) for v in vecs])
+    out = _ivf_probe_series(embs, cids, cents, 2)
+    for v, probes in zip(vecs, out):
+        sims = _brute(v, cents)
+        # expected: sort by (-sim, cid); numpy stable argsort over ascending
+        # cid order gives the same tie-break
+        exp = [cids[i] for i in sorted(range(4), key=lambda i: (-sims[i], i))][:2]
+        assert list(probes) == exp
+
+
+def test_empty_batch():
+    out = _ivf_probe_series(pd.Series([], dtype="object"), [1], [[1.0] * 8], 1)
+    assert len(out) == 0
