@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "dedup_simhash64",
     "dedup_clusters",
     "repetition_rules",
+    "decontaminate",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_multiprobe",
     "ann_cosine_topk",

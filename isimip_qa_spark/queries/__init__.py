@@ -36,6 +36,14 @@ def load_all() -> None:
     global _loaded
     if _loaded:
         return
-    from . import ann, dedup, extras, mixing, reference_ops, webtext  # noqa: F401
+    from . import (  # noqa: F401
+        ann,
+        decontaminate,
+        dedup,
+        extras,
+        mixing,
+        reference_ops,
+        webtext,
+    )
 
     _loaded = True

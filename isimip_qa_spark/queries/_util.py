@@ -31,13 +31,18 @@ def spread(df, *cols):
 
     Split estimate from the scan's file list + sizes (driver-side metadata
     only) — NOT `df.rdd.getNumPartitions()`, which builds the whole RDD
-    graph per query on the driver (r2 verdict watch item). Unknown
-    filesystems are assumed big (no exchange added)."""
+    graph per query on the driver (r2 verdict watch item). The estimate is
+    SCAN-level: an explicit upstream coalesce()/repartition() on a
+    file-backed input is invisible (callers here never do that). Non-file
+    inputs (generated ranges, local relations) have no scan metadata, so
+    only there we fall back to the RDD partition count — those plans are
+    tiny by construction. Unknown filesystems are assumed big (no exchange
+    added)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     files = df.inputFiles()
-    est = len(files)
-    if 0 < est < target:
+    est = len(files) if files else df.rdd.getNumPartitions()
+    if files and 0 < est < target:
         import os
 
         try:

@@ -162,6 +162,22 @@ def test_spread_is_noop_on_wide_inputs(spark, pages_sdf):
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
 
 
+def test_spread_widens_single_file_scan(spark, tmp_path):
+    """The production narrow case: a small table in ONE parquet file scans
+    as one split; spread() must detect it from file metadata alone and add
+    the exchange."""
+    from isimip_qa_spark.queries._util import spread
+
+    p = str(tmp_path / "one_file")
+    spark.range(0, 1000, 1, 1).withColumnRenamed("id", "k").coalesce(
+        1
+    ).write.parquet(p)
+    scan = spark.read.parquet(p)
+    out = spread(scan, "k")
+    assert out is not scan
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
 def test_time_slice_prunes_and_pushes(spark, sf_dir):
     from isimip_qa_spark.queries.reference_ops import time_slice
 
