@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "repetition_rules",
     "decontaminate",
+    "extract_text",
+    "quality_classifier",
+    "ngram_lm_train",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_multiprobe",
     "ann_cosine_topk",

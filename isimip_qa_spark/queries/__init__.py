@@ -40,9 +40,11 @@ def load_all() -> None:
         ann,
         decontaminate,
         dedup,
+        extract,
         extras,
         mixing,
         reference_ops,
+        textmodel,
         webtext,
     )
 

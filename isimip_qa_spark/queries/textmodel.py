@@ -1,0 +1,234 @@
+"""Model-shaped text operators: linear quality classifier, tf-idf top
+terms, and n-gram LM training — the "learned" half of a web-text QA
+pipeline (the heuristic half lives in queries/webtext.py).
+
+Cross-engine float discipline (see queries/__init__.py): every score here
+is built from int64 sums and single IEEE-754 divisions/multiplications
+(exactly specified, bit-identical on any engine) — no transcendentals in
+values or in top-k selection. Where a production system would use ln() the
+docstring says so and why the twin avoids it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..catalog import read_table
+from ..functions import textstats as ts
+from ..functions.fingerprint import KNUTH, MOD31, token_hash_expr, token_hash_sql
+from . import register
+
+_TOKENS_SQL = "string_split(text, ' ')"
+
+# ---------------------------------------------------------------------------
+# quality_classifier — hashing-trick linear text classifier
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 2048  # feature-hash dimensionality
+_W_SALT = 12345
+_W_SCALE = 1 << 30  # weights are ints in [-2^30, 2^30): exact int64 sums
+
+
+def _weight_expr(tok: Column) -> Column:
+    """w(token) = ((hash31(token) % D) * KNUTH + salt) % 2^31 - 2^30.
+
+    A deterministic stand-in for trained weights: the bucket→weight map is
+    a closed-form function compiled INTO the plan (the fastText-quantized
+    analogue of shipping the model as an expression). A real trained model
+    swaps this arithmetic for `F.element_at(F.lit(weights), bucket + 1)` —
+    a broadcast array lookup with the identical plan shape: one projected
+    scan, zero shuffle, zero Python."""
+    b = token_hash_expr(tok) % F.lit(N_BUCKETS)
+    return (b * F.lit(KNUTH) + F.lit(_W_SALT)) % F.lit(MOD31) - F.lit(_W_SCALE)
+
+
+def _weight_sql(tok: str) -> str:
+    b = f"(({token_hash_sql(tok)}) % {N_BUCKETS})"
+    return f"(({b} * {KNUTH} + {_W_SALT}) % {MOD31} - {_W_SCALE})"
+
+
+_CLASSIFIER_SQL = f"""
+    WITH s AS (
+      SELECT doc_id,
+             len({_TOKENS_SQL})::BIGINT AS n_tokens,
+             list_sum(list_transform({_TOKENS_SQL},
+                                     t -> {_weight_sql('t')}))::BIGINT AS swi
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           round(swi::DOUBLE / (n_tokens * {_W_SCALE}::DOUBLE), 6) AS score,
+           swi > 0 AS keep_ml
+    FROM s ORDER BY doc_id
+"""
+
+
+@register("quality_classifier", _CLASSIFIER_SQL)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc linear classifier score over hashed token features.
+
+    score = mean token weight (scaled to [-1, 1)); keep_ml = sum > 0 — the
+    keep decision compares int64 sums, so it is exact by construction, and
+    `score` is one IEEE division of exact ints (bit-identical cross-engine).
+
+    Scale shape: `F.aggregate` over the token array — a map-stage
+    expression inside whole-stage codegen. No explode, no shuffle, no
+    Python: the 100-TB cost is exactly one projected scan of (doc_id,
+    text), same as the Gopher rules it would gate alongside."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ts.tokens_expr(F.col("text"))
+    swi = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + _weight_expr(t),
+    )
+    n = F.size(toks).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.round(
+                swi.cast("double") / (n * F.lit(float(_W_SCALE))), 6
+            ).alias("score"),
+            (swi > 0).alias("keep_ml"),
+        ).orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms — corpus-level term importance per language
+# ---------------------------------------------------------------------------
+
+TOPK_TERMS = 5
+_IDF_SCALE = 1_000_000.0
+
+
+_TFIDF_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT lang, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    scored AS (
+      SELECT lang, term, tf, df,
+             tf * (n_docs * {_IDF_SCALE} / df) AS score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY tf * (n_docs * {_IDF_SCALE} / df) DESC,
+                                         term ASC) AS rk
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT lang, term, tf, df, score FROM scored WHERE rk <= {TOPK_TERMS}
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_SQL)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} terms per language by tf·idf with the RATIONAL idf variant
+    idf = N·10⁶/df: a single exact IEEE division, so the top-k SELECTION is
+    bit-identical cross-engine (ln(N/df) is not exactly specified and a
+    1-ulp divergence could flip near-ties; the log variant is a one-line
+    swap and reranks nothing at these df gaps).
+
+    Scale shape: the tf agg is wordcount (map-side partial agg absorbs the
+    explode); df reuses the same exploded view with array_distinct per doc
+    first so a term counts once per doc; the df side (vocab-sized) joins tf
+    on term — at web scale both sides are already hash-partitioned by term
+    from their aggs, so the join co-locates without a third shuffle. The
+    per-lang window sees only vocab-sized input (post-agg), not the corpus;
+    a 1000-executor run would add a per-(lang, salt) local top-k before the
+    global window (the extras.topk_per_group two-phase pattern) if the
+    vocabulary itself outgrew a partition."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ts.tokens_expr(F.col("text"))
+    tok = docs.select("doc_id", "lang", F.explode(toks).alias("term"))
+    tf = tok.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    df = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(toks)).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.count()  # scalar; the oracle's (SELECT count(*)) twin
+    score = F.col("tf") * (
+        F.lit(float(n_docs)) * F.lit(_IDF_SCALE) / F.col("df")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        score.desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK_TERMS)
+        .select("lang", "term", "tf", "df", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ngram_lm_train — train the bigram LM the perplexity stage consumes
+# ---------------------------------------------------------------------------
+
+MIN_COUNT = 3
+
+
+_LM_SQL = f"""
+    WITH t AS (SELECT {_TOKENS_SQL} AS tok FROM documents),
+    pairs AS (
+      SELECT tok[i] AS w1, tok[i + 1] AS w2
+      FROM t, unnest(range(1, len(tok))) AS u(i)
+    ),
+    cnt AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM pairs GROUP BY 1, 2),
+    tot AS (
+      SELECT w1, w2, cnt, sum(cnt) OVER (PARTITION BY w1)::BIGINT AS ctx_total
+      FROM cnt
+    )
+    SELECT w1, w2, cnt, cnt::DOUBLE / ctx_total::DOUBLE AS prob
+    FROM tot WHERE cnt >= {MIN_COUNT}
+"""
+
+
+@register("ngram_lm_train", _LM_SQL)
+def ngram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-probability table from the corpus: (w1, w2, cnt,
+    prob = cnt / Σ_w cnt(w1, w)) for bigrams seen ≥ {MIN_COUNT} times —
+    the training half of the KenLM-style scorer in functions/perplexity.py
+    (which consumes a closed-form model today; this emits the table a real
+    run would broadcast into it). `prob` is one exact IEEE division of
+    int64 counts; a production LM stores round(log2(prob)·2⁻ᵏ) dyadics for
+    the same cross-engine reasons (see perplexity.py).
+
+    Scale shape: bigrams come from arrays_zip of two token-array slices
+    (no index sequence, no risk on 1-token docs), explode feeds a
+    wordcount-shaped agg (map-side partials), and the context totals are a
+    window over w1 on the ALREADY-AGGREGATED (w1, w2) counts — vocab²
+    -bounded, not corpus-bounded. The cnt filter applies after the window
+    so rare bigrams still contribute to their context's denominator."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ts.tokens_expr(F.col("text"))
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"),
+        F.slice(toks, 2, n - 1).alias("w2"),
+    )
+    cnt = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("w1")
+    return (
+        cnt.withColumn("ctx_total", F.sum("cnt").over(w))
+        .filter(F.col("cnt") >= MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("ctx_total").cast("double")).alias(
+                "prob"
+            ),
+        )
+    )

@@ -231,9 +231,13 @@ def pages_pandas(ids: np.ndarray) -> pd.DataFrame:
         f"https://host{h}.example.org/p/{i}" for h, i in zip(host, ids)
     ]
     ts = BASE_TS + ((ids * 7919) % (30 * 86400)).astype("timedelta64[s]")
+    # valid HTML: text is entity-escaped on the way in (as any real capture
+    # is), so functions/extract.py's decode recovers it byte-identically —
+    # the north-rule invariant tests/test_extract.py asserts. & first.
     html = [
         b"<html><head><title>p" + str(i).encode() + b"</title></head><body>"
-        + t.encode("utf-8")
+        + t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .encode("utf-8")
         + b"</body></html>"
         for i, t in zip(ids, texts)
     ]
