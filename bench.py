@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "extract_text",
     "quality_classifier",
     "ngram_lm_train",
+    "training_prep",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_multiprobe",
     "ann_cosine_topk",

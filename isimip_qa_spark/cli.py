@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
         "path or http(s) URL (the reference's remote region list, "
         "config.py:101-103); repeatable, later lists shadow by name",
     )
+    p.add_argument(
+        "--from-html", action="store_true",
+        help="raw-capture entry: derive text from the html binary column "
+        "(JVM-side extraction, functions/extract.py) instead of trusting "
+        "a pre-extracted text column",
+    )
     p.add_argument("--no-resume", action="store_true")
     p.add_argument(
         "--cache", default=None,
@@ -93,6 +99,7 @@ def main(argv=None) -> int:
         checkpoint_mode=args.mode,
         window=window,
         cohort_langs=tuple(args.langs.split(",")) if args.langs else None,
+        extract_from_html=args.from_html,
     )
     pages = spark.read.parquet(args.input)
     if args.windows or args.cohorts:

@@ -49,6 +49,12 @@ class QAConfig:
     # scopes
     window: tuple[str, str] | None = None  # inclusive (lo, hi) on warc_ts
     cohort_langs: tuple[str, ...] | None = None  # None = whole corpus
+    # input form: when True the pipeline starts from the RAW capture —
+    # `text` is derived from the `html` binary in the map stage
+    # (functions/extract.py, JVM-side) and html is dropped before any
+    # shuffle; byte-identity of the derivation is the north-rule invariant
+    # (tests/test_extract.py), so every downstream semantic is unchanged
+    extract_from_html: bool = False
     # execution
     n_chunks: int = 8  # checkpoint granularity (resume unit)
     # "chunked": one job per chunk — a killed run resumes per chunk.

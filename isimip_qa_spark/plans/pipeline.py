@@ -238,6 +238,13 @@ def run_qa(
     """
     t0 = time.time()
     df = scope_filter(pages, cfg)
+    if cfg.extract_from_html:
+        # raw-capture entry: derive text from html in the map stage (pure
+        # JVM regexp exprs — functions/extract.py); html bytes never reach
+        # a shuffle or Python
+        from ..functions.extract import extract_text_expr
+
+        df = df.withColumn("text", extract_text_expr(F.col("html")))
     if not with_html:
         # column-pruning discipline: text stages must never scan html bytes
         df = df.drop("html")

@@ -45,6 +45,7 @@ def load_all() -> None:
         mixing,
         reference_ops,
         textmodel,
+        training_prep,
         webtext,
     )
 

@@ -52,3 +52,32 @@ def test_extract_is_jvm_only(spark, sf_dir):
         "doc_id" in ln and "text" in ln and "lang" not in ln
         for ln in scan_lines
     )
+
+
+def test_pipeline_raw_capture_entry_matches_text_entry(spark, tmp_path):
+    """run_qa(extract_from_html=True) over pages whose `text` column is
+    POISONED must produce byte-identical scored output to the normal run —
+    proof the pipeline really derives text from the raw html bytes."""
+    from pyspark.sql import functions as F
+
+    from isimip_qa_spark.plans import QAConfig, run_qa
+    from isimip_qa_spark.plans.pipeline import read_scored
+    from isimip_qa_spark.sources.pages import pages_df
+
+    cfg = QAConfig(n_chunks=2, n_partitions=4, checkpoint_mode="single_pass")
+    cfg_x = QAConfig(
+        n_chunks=2, n_partitions=4, checkpoint_mode="single_pass",
+        extract_from_html=True,
+    )
+    pages = pages_df(spark, 3000, num_partitions=4)
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    run_qa(spark, pages, cfg, out_a, with_html=False)
+    poisoned = pages.withColumn("text", F.lit("POISON"))
+    run_qa(spark, poisoned, cfg_x, out_b, with_html=False)
+
+    key = ["url"]
+    a = read_scored(spark, out_a).toPandas().sort_values(key).reset_index(drop=True)
+    b = read_scored(spark, out_b).toPandas().sort_values(key).reset_index(drop=True)
+    pd_cols = [c for c in a.columns if c != "chunk"]
+    assert a[pd_cols].equals(b[pd_cols])
+    assert (b["text"] != "POISON").all()
