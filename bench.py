@@ -16,7 +16,13 @@ Env knobs:
     BENCH_QA_ONLY=1      skip the per-query segment (scaling runs)
 
 Scaling evidence (N vs 4N cores) is produced by tools/bench_scaling.py,
-which invokes this script in two subprocesses.
+which invokes this script in confined subprocesses (one fresh JVM per
+level, taskset-pinned, interleaved min-of-rounds — methodology in
+BASELINE.md). A campaign run records its consolidated result in
+repo-root SCALING.json; this script attaches that record verbatim under
+a "scaling" key so the per-round BENCH json carries the two-level
+throughput + efficiency evidence without re-paying the multi-JVM
+campaign on every bench invocation.
 """
 
 from __future__ import annotations
@@ -60,8 +66,11 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_simhash64",
     "dedup_clusters",
+    "dedup_paragraphs",
     "repetition_rules",
     "decontaminate",
+    "ppl_terciles",
+    "host_reputation",
     "extract_text",
     "quality_classifier",
     "ngram_lm_train",
@@ -175,6 +184,13 @@ def main() -> None:
             result["value"] = result["qa_chunked_docs_per_sec"]
     else:
         result["value"] = result.get("queries_total_sec", 0.0)
+
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALING.json"
+    )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            result["scaling"] = json.load(f)
 
     print(json.dumps(result))
 

@@ -38,6 +38,7 @@ def load_all() -> None:
         return
     from . import (  # noqa: F401
         ann,
+        curation,
         decontaminate,
         dedup,
         extract,

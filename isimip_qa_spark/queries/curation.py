@@ -1,0 +1,245 @@
+"""Corpus-curation operators: paragraph-level dedup, CCNet-style
+perplexity buckets, and domain(source)-level reputation filtering.
+
+These extend the document-level dedup/QA family (queries/dedup.py,
+queries/webtext.py) with the three curation moves a training-data pipeline
+runs between raw QA and mixing:
+
+- `dedup_paragraphs` — remove repeated paragraphs corpus-wide, keeping each
+  paragraph's globally first occurrence (CCNet/Dolma discipline). The
+  synthetic `documents` table has no newlines, so the registered instance
+  uses a fixed-width W-word segmenter as the paragraph boundary; the
+  splitter is a parameter (`para_expr`) and production input would pass
+  `F.split(text, '\\n\\n')`. Everything downstream of the splitter is
+  boundary-agnostic.
+- `ppl_terciles` — head/middle/tail perplexity buckets per language
+  (CCNet §4.2's quality stratification): docs ranked by the engine-exact
+  dyadic avg_logprob (NOT the post-exp ppl, whose last ulp is
+  engine-dependent), ntile(3) per lang.
+- `host_reputation` — per-source keep-rate vs the corpus rate; sources
+  below the global rate are flagged (the domain-blocklist precursor).
+  `source` plays the url-host role the pages table has in the pipeline.
+
+Scale notes (100 TB):
+- dedup_paragraphs' winner decision shuffles ONLY (hash, doc_id, seg_idx)
+  — 20 bytes per paragraph, never paragraph bytes. The rebuild join on
+  doc_id is left to AQE: when duplication is sparse the drop-list side
+  broadcasts and text stays map-side; in the boilerplate-heavy worst case
+  (most docs lose a paragraph) the join degrades to one text-bearing
+  exchange — the floor for any operator that REWRITES the corpus, and
+  still strictly better than shuffling exploded paragraphs. A 64-bit hash
+  collision can drop a non-duplicate paragraph (~n²/2⁶⁴); the DuckDB twin
+  joins paragraph STRINGS, so any collision at test scale surfaces as a
+  hash mismatch instead of hiding.
+- ppl_terciles' ntile needs a per-lang sort: one range-partitioned
+  exchange keyed on (lang, avg_logprob) — the standard global-sort shape,
+  no driver funnel.
+- host_reputation is scan → hash-agg on an 8-byte-ish key; the global
+  rate is a 1-row broadcast join, not a single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import read_table
+from ..functions.perplexity import ppl_udf
+from ..functions.textstats import keep_expr
+from . import register
+from .webtext import _GOPHER_SQL
+
+SEG_W = 20  # words per synthetic "paragraph" segment
+
+
+def segments_expr(text: Column, w: int = SEG_W) -> Column:
+    """Fixed-width word segments (the paragraph stand-in for newline-free
+    synthetic text): consecutive w-token blocks, last block ragged. Every
+    doc yields >= 1 segment (split('') -> [''])."""
+    toks = F.split(text, " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(w)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_segs - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, w)),
+    )
+
+
+_SEGS_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    segs AS (
+      SELECT doc_id, i::INT AS seg_idx,
+             array_to_string(toks[(i*{SEG_W}+1):(i*{SEG_W}+{SEG_W})], ' ') AS seg
+      FROM t, unnest(range(0, greatest(cast(ceil(len(toks) / {SEG_W}.0) AS BIGINT), 1)))
+           AS u(i)
+    ),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx),
+                    '') AS text_deduped,
+           count(*)::BIGINT AS n_segs,
+           sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("dedup_paragraphs", _SEGS_SQL)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup: a paragraph instance survives iff it is
+    the globally first occurrence of its content (order = (doc_id, pos));
+    docs are rebuilt from their surviving paragraphs in order."""
+    d = read_table(spark, sf_dir, "documents")
+    segs = d.select(
+        "doc_id", F.posexplode(segments_expr(F.col("text"))).alias("seg_idx", "seg")
+    ).select("doc_id", "seg_idx", F.xxhash64("seg").alias("sh"))
+    win = Window.partitionBy("sh").orderBy("doc_id", "seg_idx")
+    drops = (
+        segs.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") > 1)
+        .groupBy("doc_id")
+        .agg(F.collect_set("seg_idx").alias("drop_idx"))
+    )
+    arr = segments_expr(F.col("text"))
+    empty = F.array().cast("array<int>")
+    return (
+        d.join(drops, "doc_id", "left")
+        .withColumn("drop_idx", F.coalesce(F.col("drop_idx"), empty))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.filter(arr, lambda s, i: ~F.array_contains(F.col("drop_idx"), i)),
+            ).alias("text_deduped"),
+            F.size(arr).cast("long").alias("n_segs"),
+            F.size("drop_idx").cast("long").alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TERCILE_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    scored AS (
+      SELECT tok.doc_id, coalesce(lm.lp, -12.0) AS lp
+      FROM tok LEFT JOIN LM_RELATION ON tok.token = lm.token
+    ),
+    ppl AS (
+      SELECT d.doc_id, d.lang, s.avg_lp,
+             round(exp(-s.avg_lp), 6) AS ppl_r
+      FROM documents d
+      JOIN (SELECT doc_id, sum(lp) / count(*) AS avg_lp FROM scored GROUP BY doc_id) s
+        USING (doc_id)
+    ),
+    buckets AS (
+      SELECT lang, ppl_r,
+             ntile(3) OVER (PARTITION BY lang ORDER BY avg_lp DESC, doc_id) AS b
+      FROM ppl
+    )
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           count(*)::BIGINT AS n_docs,
+           min(ppl_r) AS min_ppl, max(ppl_r) AS max_ppl
+    FROM buckets GROUP BY lang, b ORDER BY lang, b
+"""
+
+
+def _tercile_sql() -> str:
+    from ..functions.perplexity import OOV_LOGPROB, model_values_sql
+
+    # inline the broadcast LM the same way _ppl_sql does
+    return _TERCILE_SQL.replace("-12.0", repr(OOV_LOGPROB)).replace(
+        "LM_RELATION", model_values_sql()
+    )
+
+
+@register("ppl_terciles", _tercile_sql())
+def ppl_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity buckets per language.
+    Ranking key is the dyadic-exact avg_logprob (descending = ascending
+    ppl) with doc_id tie-break, so both engines order identically; the
+    reported min/max ppl are rounded once, after ranking."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", ppl_udf(F.col("text")).alias("s")
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("s.avg_logprob").alias("avg_lp"),
+        F.round(F.col("s.ppl"), 6).alias("ppl_r"),
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("avg_lp"), F.asc("doc_id"))
+    b = scored.withColumn("b", F.ntile(3).over(win))
+    return (
+        b.groupBy("lang", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ppl_r").alias("min_ppl"),
+            F.max("ppl_r").alias("max_ppl"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("b") == 1, "head")
+            .when(F.col("b") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "min_ppl",
+            "max_ppl",
+        )
+        .orderBy("lang", "bucket")  # 'head'<'middle'<'tail' == tercile order
+    )
+
+
+_REPUTATION_SQL = f"""
+    WITH g AS ({_GOPHER_SQL}),
+    rates AS (
+      SELECT d.source AS source, count(*)::BIGINT AS n_docs,
+             round(sum(CASE WHEN g.keep THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+               AS keep_rate
+      FROM documents d JOIN g USING (doc_id) GROUP BY d.source
+    )
+    SELECT source, n_docs, keep_rate,
+           keep_rate < (SELECT round(sum(n_docs * keep_rate) / sum(n_docs), 6)
+                        FROM rates) AS flagged
+    FROM rates ORDER BY source
+"""
+
+
+@register("host_reputation", _REPUTATION_SQL)
+def host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level reputation: per-source QA keep-rate; sources below the
+    docs-weighted corpus rate are flagged (blocklist candidates). The
+    corpus rate is a 1-row aggregate joined back via broadcast — no
+    single-partition window."""
+    d = read_table(spark, sf_dir, "documents")
+    rates = (
+        d.select("source", keep_expr(F.col("text")).alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)) / F.count(F.lit(1)), 6
+            ).alias("keep_rate"),
+        )
+    )
+    overall = rates.agg(
+        F.round(
+            F.sum(F.col("n_docs") * F.col("keep_rate")) / F.sum("n_docs"), 6
+        ).alias("corpus_rate")
+    )
+    return (
+        rates.crossJoin(F.broadcast(overall))
+        .select(
+            "source",
+            "n_docs",
+            "keep_rate",
+            (F.col("keep_rate") < F.col("corpus_rate")).alias("flagged"),
+        )
+        .orderBy("source")
+    )

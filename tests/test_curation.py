@@ -1,0 +1,80 @@
+"""Curation operators: paragraph dedup semantics, perplexity terciles,
+source reputation (oracle twins cover exactness; these pin the invariants
+an oracle diff would not explain well)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from isimip_qa_spark.queries import QUERIES, load_all
+
+load_all()
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(sf_dir):
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).df()
+
+
+def _string_segments(text: str, w: int = 20) -> list[str]:
+    toks = text.split(" ")
+    n_segs = max(-(-len(toks) // w), 1)
+    return [" ".join(toks[i * w : (i + 1) * w]) for i in range(n_segs)]
+
+
+def test_dedup_paragraphs_semantics(spark, sf_dir, docs_pdf):
+    got = QUERIES["dedup_paragraphs"](spark, sf_dir).toPandas()
+    assert len(got) == len(docs_pdf)
+    texts = dict(zip(docs_pdf["doc_id"], docs_pdf["text"]))
+
+    # independent expected: first global occurrence (doc_id, pos) survives
+    seen: set[str] = set()
+    expected: dict[int, tuple[str, int, int]] = {}
+    for doc_id in sorted(texts):
+        segs = _string_segments(texts[doc_id])
+        kept = []
+        for s in segs:
+            if s in seen:
+                continue
+            seen.add(s)
+            kept.append(s)
+        expected[doc_id] = (" ".join(kept), len(segs), len(segs) - len(kept))
+
+    total_dropped = 0
+    for row in got.itertuples():
+        want_text, want_n, want_drop = expected[row.doc_id]
+        assert row.text_deduped == want_text, row.doc_id
+        assert row.n_segs == want_n and row.n_dropped == want_drop
+        total_dropped += row.n_dropped
+        if row.n_dropped == 0:  # untouched docs reconstruct byte-identically
+            assert row.text_deduped == texts[row.doc_id]
+    assert total_dropped > 0  # the corpus really contains duplicate segments
+
+
+def test_ppl_terciles_invariants(spark, sf_dir, docs_pdf):
+    got = QUERIES["ppl_terciles"](spark, sf_dir).toPandas()
+    n_langs = docs_pdf["lang"].nunique()
+    assert set(got["bucket"]) == {"head", "middle", "tail"}
+    assert got.groupby("lang").size().eq(3).all() and len(got) == 3 * n_langs
+    for lang, g in got.groupby("lang"):
+        # ntile balance: bucket sizes differ by at most 1, sum to lang total
+        sizes = g.set_index("bucket")["n_docs"]
+        assert sizes.max() - sizes.min() <= 1
+        assert sizes.sum() == (docs_pdf["lang"] == lang).sum()
+        # rounding is monotone, so bucket ppl ranges must not invert
+        b = g.set_index("bucket")
+        assert b.loc["head", "max_ppl"] <= b.loc["middle", "min_ppl"]
+        assert b.loc["middle", "max_ppl"] <= b.loc["tail", "min_ppl"]
+
+
+def test_host_reputation_flags_below_weighted_mean(spark, sf_dir):
+    got = QUERIES["host_reputation"](spark, sf_dir).toPandas()
+    assert got["keep_rate"].between(0, 1).all()
+    corpus = (got["n_docs"] * got["keep_rate"]).sum() / got["n_docs"].sum()
+    want = got["keep_rate"] < round(corpus, 6)
+    assert (got["flagged"] == want).all()
+    assert got["flagged"].any() and (~got["flagged"]).any()
