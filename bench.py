@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash64",
+    "dedup_incremental",
     "dedup_clusters",
     "dedup_paragraphs",
     "repetition_rules",

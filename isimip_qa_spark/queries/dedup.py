@@ -534,3 +534,88 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_pairs(
         sig, SIMHASH64_CHUNKS, SIMHASH64_CHUNK_BITS, SIMHASH64_HAMMING_MAX
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dedup: only the ARRIVING batch pays compute; the history
+# side is, in production, a pre-built Iceberg fingerprint index
+# (doc_id, sh, chunk key) partitioned by chunk key — here it is derived
+# in-plan from the even-doc_id half of `documents` so the query is
+# self-contained and oracle-able. Pigeonhole blocking (4×16-bit chunks) is
+# exact for Hamming ≤ 3; the uncapped O(n²) DuckDB twin would expose any
+# recall lost to BUCKET_CAP, which is inert at tested scales (same
+# contract as dedup_simhash64).
+# ---------------------------------------------------------------------------
+
+
+def _incr_sql() -> str:
+    return f"""
+    WITH th AS (SELECT doc_id,
+                       list_transform(string_split(text, ' '), t -> {fnv64_sql('t')}) AS h
+                FROM documents),
+    d AS (SELECT doc_id, {simhash64_from_hashes_sql('h')} AS sh FROM th),
+    nw AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+    hist AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+    hdrop AS (SELECT DISTINCT n.doc_id FROM nw n
+              JOIN hist g ON bit_count(xor(n.sh, g.sh)) <= {SIMHASH64_HAMMING_MAX}),
+    bdrop AS (SELECT DISTINCT y.doc_id FROM nw x
+              JOIN nw y ON x.doc_id < y.doc_id
+               AND bit_count(xor(x.sh, y.sh)) <= {SIMHASH64_HAMMING_MAX})
+    SELECT doc_id, max(reason) AS reason FROM (
+      SELECT doc_id, 'history' AS reason FROM hdrop
+      UNION ALL SELECT doc_id, 'batch' AS reason FROM bdrop
+    ) GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("dedup_incremental", oracle=_incr_sql())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped-doc decisions for an arriving batch (odd doc_ids) against an
+    ingested history (even doc_ids): a new doc is dropped when a 64-bit
+    simhash within Hamming <= 3 exists in history ('history') or at a
+    smaller doc_id within its own batch ('batch'); history wins when both
+    apply. Chunk keys carry the fingerprint alongside (24-byte shuffle
+    rows), so both checks verify inline off one exchange per side — no
+    join-back to a signature table."""
+    from ..functions.fingerprint import simhash64_udf
+
+    d = read_table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id", simhash64_udf(F.col("text")).alias("sh")
+    ).repartition(F.col("doc_id"))  # materialisation barrier (see _simhash_pairs)
+    keys = F.explode(
+        _chunk_keys(F.col("sh"), SIMHASH64_CHUNKS, SIMHASH64_CHUNK_BITS)
+    ).alias("k")
+    nw = cap_hot_keys(
+        sig.filter(F.col("doc_id") % 2 == 1).select("doc_id", "sh", keys)
+    )
+    hist = cap_hot_keys(
+        sig.filter(F.col("doc_id") % 2 == 0).select("doc_id", "sh", keys)
+    )
+    ham = lambda a, b: F.bit_count(a.bitwiseXOR(b))  # noqa: E731
+
+    hdrop = (
+        nw.alias("x")
+        .join(hist.alias("y"), "k")
+        .filter(ham(F.col("x.sh"), F.col("y.sh")) <= SIMHASH64_HAMMING_MAX)
+        .select(F.col("x.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("reason", F.lit("history"))
+    )
+    bdrop = (
+        nw.alias("x")
+        .join(nw.alias("y"), "k")
+        .filter(
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (ham(F.col("x.sh"), F.col("y.sh")) <= SIMHASH64_HAMMING_MAX)
+        )
+        .select(F.col("y.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("reason", F.lit("batch"))
+    )
+    return (
+        hdrop.unionByName(bdrop)
+        .groupBy("doc_id")
+        .agg(F.max("reason").alias("reason"))  # 'history' > 'batch'
+        .orderBy("doc_id")
+    )
