@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "repetition_rules",
     "decontaminate",
     "ppl_terciles",
+    "ppl_bucket_approx",
     "host_reputation",
     "extract_text",
     "quality_classifier",

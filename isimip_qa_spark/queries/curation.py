@@ -31,9 +31,16 @@ Scale notes (100 TB):
   collision can drop a non-duplicate paragraph (~n²/2⁶⁴); the DuckDB twin
   joins paragraph STRINGS, so any collision at test scale surfaces as a
   hash mismatch instead of hiding.
-- ppl_terciles' ntile needs a per-lang sort: one range-partitioned
-  exchange keyed on (lang, avg_logprob) — the standard global-sort shape,
-  no driver funnel.
+- ppl_terciles is EXACT ntile, and exact per-group ntile inherently
+  serialises each group: Window.partitionBy(lang) routes one language
+  through one task, so parallelism = n_languages (fine for a 15-row
+  summary over ~100 langs; wrong for per-doc assignment at 10¹² rows).
+  The per-doc production path is `ppl_bucket_approx` below — thresholds
+  from approx_percentile (partial-aggregable sketch, no per-lang funnel)
+  broadcast back as a 2-value-per-lang dim; tests assert ≥98% per-doc
+  agreement with the exact terciles. Approx thresholds are not
+  bit-reproducible across engines, so that query is deliberately NOT
+  oracle-gated on bucket values (pytest covers it).
 - host_reputation is scan → hash-agg on an 8-byte-ish key; the global
   rate is a 1-row broadcast join, not a single-partition window.
 """
@@ -163,7 +170,9 @@ def ppl_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail perplexity buckets per language.
     Ranking key is the dyadic-exact avg_logprob (descending = ascending
     ppl) with doc_id tie-break, so both engines order identically; the
-    reported min/max ppl are rounded once, after ranking."""
+    reported min/max ppl are rounded once, after ranking. Exact ntile
+    serialises each lang through one task (see module docstring); the
+    per-doc scale path is ppl_bucket_approx."""
     d = read_table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id", "lang", ppl_udf(F.col("text")).alias("s")
@@ -242,4 +251,37 @@ def host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("keep_rate") < F.col("corpus_rate")).alias("flagged"),
         )
         .orderBy("source")
+    )
+
+
+@register("ppl_bucket_approx")  # no oracle: approx sketch, rows-only check
+def ppl_bucket_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc head/middle/tail assignment at scale: per-lang tercile
+    thresholds from approx_percentile — a partial-aggregable t-digest-style
+    sketch, so NO per-lang single-task funnel — broadcast back as a
+    2-value-per-lang dim and assigned by comparison (ties at a threshold
+    bucket downward). Approx thresholds are not bit-reproducible across
+    engines, so this query is deliberately not oracle-gated;
+    tests/test_curation.py asserts >= 98% per-doc agreement with the exact
+    ntile terciles and that the plan contains no Window."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", ppl_udf(F.col("text")).alias("s")
+    ).select("doc_id", "lang", F.col("s.avg_logprob").alias("avg_lp"))
+    th = scored.groupBy("lang").agg(
+        F.percentile_approx("avg_lp", [2.0 / 3.0, 1.0 / 3.0], 10000).alias("t")
+    ).select(
+        "lang", F.col("t")[0].alias("t_hi"), F.col("t")[1].alias("t_lo")
+    )
+    return (
+        scored.join(F.broadcast(th), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("avg_lp") > F.col("t_hi"), "head")
+            .when(F.col("avg_lp") > F.col("t_lo"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
     )

@@ -78,3 +78,44 @@ def test_host_reputation_flags_below_weighted_mean(spark, sf_dir):
     want = got["keep_rate"] < round(corpus, 6)
     assert (got["flagged"] == want).all()
     assert got["flagged"].any() and (~got["flagged"]).any()
+
+
+def test_ppl_bucket_approx_agrees_with_exact(spark, sf_dir, docs_pdf):
+    """The scale path (approx_percentile thresholds, no Window) must agree
+    with the exact ntile assignment on virtually every doc."""
+    got = QUERIES["ppl_bucket_approx"](spark, sf_dir).toPandas()
+    assert len(got) == len(docs_pdf)
+    # no per-lang single-task window in the plan
+    plan = QUERIES["ppl_bucket_approx"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+    # exact assignment, independently: rank by avg_logprob desc per lang
+    from isimip_qa_spark.functions.perplexity import build_model, OOV_LOGPROB
+
+    model = build_model()
+    rows = []
+    for r in docs_pdf.itertuples():
+        toks = r.text.lower().split(" ")
+        avg = sum(model.get(t, OOV_LOGPROB) for t in toks) / len(toks)
+        rows.append((r.doc_id, r.lang, avg))
+    import pandas as pd
+
+    exact = pd.DataFrame(rows, columns=["doc_id", "lang", "avg_lp"])
+    exact = exact.sort_values(["lang", "avg_lp", "doc_id"],
+                              ascending=[True, False, True])
+
+    def ntile3(n: int) -> list[int]:
+        base, rem = divmod(n, 3)
+        out = []
+        for b in range(1, 4):
+            out += [b] * (base + (1 if b <= rem else 0))
+        return out
+
+    exact["b"] = exact.groupby("lang")["doc_id"].transform(
+        lambda s: ntile3(len(s))
+    )
+    exact["bucket"] = exact["b"].map({1: "head", 2: "middle", 3: "tail"})
+    merged = got.merge(exact[["doc_id", "bucket"]], on="doc_id",
+                       suffixes=("", "_exact"))
+    agree = (merged["bucket"] == merged["bucket_exact"]).mean()
+    assert agree >= 0.98, agree
