@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     "decontaminate",
     "ppl_terciles",
     "ppl_bucket_approx",
+    "url_canonicalize",
+    "dedup_url_latest",
+    "host_blocklist",
+    "lang_rebalance",
+    "normalize_text",
     "host_reputation",
     "extract_text",
     "quality_classifier",

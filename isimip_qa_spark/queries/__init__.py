@@ -47,6 +47,7 @@ def load_all() -> None:
         reference_ops,
         textmodel,
         training_prep,
+        urlops,
         webtext,
     )
 

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import read_table
+from ..functions.normalize import normalize_text_expr, normalize_text_sql
 from ..functions.perplexity import ppl_udf
 from ..functions.textstats import keep_expr
 from . import register
@@ -285,3 +286,28 @@ def ppl_bucket_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "normalize_text",
+    oracle=f"""
+    SELECT doc_id,
+           {normalize_text_sql(
+               "'Cafe' || chr(769) || chr(9) || chr(7) || '  ' || text"
+           )} AS norm_text
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text bytes: NFC composition (Arrow-batched pandas kernel),
+    control-char strip, whitespace collapse, trim. The fixture prefixes a
+    decomposed 'e'+U+0301, a tab, and a BEL control char so every rule is
+    exercised on every row; the DuckDB twin (nfc_normalize + same RE2
+    patterns) pins byte identity. Narrow map — one ArrowEvalPython, no
+    shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    fixture = F.concat(F.lit("Cafe\u0301\t\x07  "), F.col("text"))
+    return d.select(
+        "doc_id", normalize_text_expr(fixture).alias("norm_text")
+    ).orderBy("doc_id")

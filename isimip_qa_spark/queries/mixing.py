@@ -38,6 +38,7 @@ from .webtext import QUALITY_SQL, _TOKENS_SQL, quality_expr
 SAMPLE_BUCKETS = 1000
 SAMPLE_KEEP = 100  # 10% sample
 TOKEN_BUDGET = 600  # per-source whitespace-token budget
+REBALANCE_SCALE = 4  # lang_rebalance: keep ~SCALE*sqrt(n_l) docs per lang
 
 
 @register(
@@ -106,4 +107,66 @@ def token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("cum_tokens", F.sum("ws_tokens").over(w))
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
         .select("doc_id", "source", "ws_tokens", "cum_tokens")
+    )
+
+
+@register(
+    "lang_rebalance",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*)::BIGINT AS n_l,
+             least(count(*)::BIGINT,
+                   {REBALANCE_SCALE} * floor(sqrt(count(*)))::BIGINT) AS keep_n
+      FROM documents GROUP BY lang
+    ),
+    bucketed AS (
+      SELECT doc_id, lang,
+             (({rolling_fingerprint_sql(_TOKENS_SQL)} % {SAMPLE_BUCKETS})
+              + {SAMPLE_BUCKETS}) % {SAMPLE_BUCKETS} AS bucket
+      FROM documents
+    )
+    SELECT doc_id, b.lang, bucket
+    FROM bucketed b JOIN counts c ON b.lang = c.lang
+    WHERE bucket * c.n_l < c.keep_n * {SAMPLE_BUCKETS}
+    ORDER BY doc_id
+    """,
+)
+def lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature rebalancing by deterministic downsampling: each language
+    keeps ~SCALE*sqrt(n_l) docs (head languages downsampled hardest — the
+    alpha=0.5 temperature schedule), selected by the same seedless
+    content-fingerprint buckets as deterministic_sample.
+
+    The keep predicate is the integer cross-multiplication
+    `bucket * n_l < keep_n * BUCKETS` — exact in int64 on both engines, no
+    float rate anywhere (floor(sqrt(int)) is the one float op; IEEE sqrt is
+    correctly rounded in both engines so the floor is engine-exact). Scale
+    shape: one hash-agg for the 5-row counts dim, broadcast back; the corpus
+    crosses no exchange — the filter stays in the scan stage."""
+    d = read_table(spark, sf_dir, "documents")
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_l"))
+        .select(
+            "lang",
+            "n_l",
+            F.least(
+                F.col("n_l"),
+                F.lit(REBALANCE_SCALE)
+                * F.floor(F.sqrt(F.col("n_l"))).cast("long"),
+            ).alias("keep_n"),
+        )
+    )
+    fp = rolling_fingerprint_expr(ts.tokens_expr(F.col("text")))
+    bucketed = d.select(
+        "doc_id", "lang", F.pmod(fp, F.lit(SAMPLE_BUCKETS)).alias("bucket")
+    )
+    return (
+        bucketed.join(F.broadcast(counts), "lang")
+        .filter(
+            F.col("bucket") * F.col("n_l")
+            < F.col("keep_n") * F.lit(SAMPLE_BUCKETS)
+        )
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
     )
