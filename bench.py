@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "quality_classifier",
     "ngram_lm_train",
     "training_prep",
+    "pack_sequences",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_multiprobe",
     "ann_cosine_topk",

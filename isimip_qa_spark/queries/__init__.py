@@ -44,6 +44,7 @@ def load_all() -> None:
         extract,
         extras,
         mixing,
+        packing,
         reference_ops,
         textmodel,
         training_prep,
