@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "dedup_paragraphs",
     "repetition_rules",
+    "repetition_ngram_rules",
     "decontaminate",
     "ppl_terciles",
     "ppl_bucket_approx",

@@ -81,6 +81,87 @@ def dup_2gram_frac_expr(text: Column) -> Column:
     return _dup_frac(word_2grams_expr(tokens_expr(text)))
 
 
+def ngrams_expr(tokens: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (NOT distinct — frequency is the
+    point); docs with fewer than n tokens get an empty array. Unlike
+    `word_2grams_expr` (which pads 1-token docs for dup_2gram_frac
+    compatibility), this is the strict window used by the Gopher top-/dup-
+    n-gram character rules."""
+    sz = F.size(tokens)
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_cov_expr(text: Column, n: int) -> Column:
+    """Character coverage (occurrences × gram char length) of the most
+    frequent word n-gram — the numerator of Gopher §A1.1's 'fraction of
+    characters in the most common n-gram' (Rae et al. 2021, Table A1).
+    Count ties resolve to the larger coverage; no-gram docs → 0.
+
+    Shape: per-row fold over the SORTED gram array (equal grams adjacent →
+    run length = frequency), entirely JVM-side `aggregate` — zero shuffle,
+    zero Python, and a structurally different algorithm from the DuckDB
+    twin (unnest → GROUP BY → window max), so the oracle match is a real
+    cross-check, not the same code twice."""
+    grams = F.array_sort(ngrams_expr(tokens_expr(text), n))
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best_run"),
+        zero.alias("best_cov"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(
+            F.lit(1).cast("long")
+        )
+        cov = run * F.length(x).cast("long")
+        better = (run > acc["best_run"]) | (
+            (run == acc["best_run"]) & (cov > acc["best_cov"])
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best_run"]).alias("best_run"),
+            F.when(better, cov).otherwise(acc["best_cov"]).alias("best_cov"),
+        )
+
+    return F.aggregate(grams, acc0, step, lambda acc: acc["best_cov"])
+
+
+def dup_ngram_chars_expr(text: Column, n: int) -> Column:
+    """Characters covered by word n-grams occurring ≥ 2 times (count × gram
+    char length) — the numerator of Gopher §A1.1's duplicated-n-gram
+    character fraction, in its deterministic overlap-unaware form (each
+    occurrence counts its full char span; the positional-marking variant is
+    order-dependent and not reproducible across engines). Callers clip the
+    fraction at 1.0. Same zero-shuffle sorted-fold shape as
+    `top_ngram_cov_expr`."""
+    grams = F.array_sort(ngrams_expr(tokens_expr(text), n))
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("acc")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(
+            F.lit(1).cast("long")
+        )
+        ln = F.length(x).cast("long")
+        add = F.when(run == 2, F.lit(2) * ln).when(run > 2, ln).otherwise(zero)
+        return F.struct(
+            x.alias("prev"), run.alias("run"), (acc["acc"] + add).alias("acc")
+        )
+
+    return F.aggregate(grams, acc0, step, lambda acc: acc["acc"])
+
+
 # ASCII punctuation only (never counts CJK/accented letters as symbols);
 # identical semantics in Java regex / RE2 / Python re.
 SYMBOL_CLASS = "[!-/:-@\\[-`{-~]"

@@ -140,6 +140,117 @@ def repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher n-gram CHARACTER repetition rules (Rae et al. 2021 Table A1):
+# fraction of characters in the most common {2,3,4}-gram and fraction of
+# characters in duplicated {5,10}-grams (the endpoints of the published
+# 5..10 family), with the paper's trip thresholds 0.20/0.18/0.16 and
+# 0.15/0.10. Engine path: per-row sorted-array folds (textstats.
+# top_ngram_cov_expr / dup_ngram_chars_expr) — zero shuffle, zero Python,
+# whole-stage-codegen'd; at 10^12 docs this scans once and never exchanges.
+# The oracle is a structurally different algorithm (unnest → GROUP BY gram
+# → window max → pivot), so the hash match cross-checks the fold logic.
+# Coverage is overlap-unaware (each occurrence counts its full span);
+# fractions are clipped at 1.0 — see dup_ngram_chars_expr docstring.
+# ---------------------------------------------------------------------------
+
+_NGRAM_NS = (2, 3, 4, 5, 10)
+_TOP_TH = {2: 0.20, 3: 0.18, 4: 0.16}
+_DUP_TH = {5: 0.15, 10: 0.10}
+
+_NGRAM_REP_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             length(text)::BIGINT AS nch
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, n,
+             unnest(list_transform(range(1, len(toks) - n + 2),
+                    i -> array_to_string(toks[i:i+n-1], ' '))) AS g
+      FROM base, (VALUES (2), (3), (4), (5), (10)) AS ns(n)
+      WHERE len(toks) >= n
+    ),
+    counts AS (
+      SELECT doc_id, n, g, count(*)::BIGINT AS c, length(g)::BIGINT AS lg
+      FROM grams GROUP BY doc_id, n, g
+    ),
+    winmax AS (
+      SELECT *, max(c) OVER (PARTITION BY doc_id, n) AS mc FROM counts
+    ),
+    stats AS (
+      SELECT doc_id, n,
+             max(CASE WHEN c = mc THEN c * lg END)::BIGINT AS top_cov,
+             coalesce(sum(CASE WHEN c >= 2 THEN c * lg END), 0)::BIGINT
+               AS dup_chars
+      FROM winmax GROUP BY doc_id, n
+    ),
+    pivoted AS (
+      SELECT b.doc_id,
+             least(1.0, CASE WHEN b.nch > 0 THEN
+               coalesce(max(CASE WHEN s.n = 2 THEN s.top_cov END), 0) / b.nch
+               ELSE 0.0 END) AS top_2gram_char_frac,
+             least(1.0, CASE WHEN b.nch > 0 THEN
+               coalesce(max(CASE WHEN s.n = 3 THEN s.top_cov END), 0) / b.nch
+               ELSE 0.0 END) AS top_3gram_char_frac,
+             least(1.0, CASE WHEN b.nch > 0 THEN
+               coalesce(max(CASE WHEN s.n = 4 THEN s.top_cov END), 0) / b.nch
+               ELSE 0.0 END) AS top_4gram_char_frac,
+             least(1.0, CASE WHEN b.nch > 0 THEN
+               coalesce(max(CASE WHEN s.n = 5 THEN s.dup_chars END), 0) / b.nch
+               ELSE 0.0 END) AS dup_5gram_char_frac,
+             least(1.0, CASE WHEN b.nch > 0 THEN
+               coalesce(max(CASE WHEN s.n = 10 THEN s.dup_chars END), 0) / b.nch
+               ELSE 0.0 END) AS dup_10gram_char_frac
+      FROM base b LEFT JOIN stats s USING (doc_id)
+      GROUP BY b.doc_id, b.nch
+    )
+    SELECT doc_id, top_2gram_char_frac, top_3gram_char_frac,
+           top_4gram_char_frac, dup_5gram_char_frac, dup_10gram_char_frac,
+           (top_2gram_char_frac > {_TOP_TH[2]}
+            OR top_3gram_char_frac > {_TOP_TH[3]}
+            OR top_4gram_char_frac > {_TOP_TH[4]}
+            OR dup_5gram_char_frac > {_DUP_TH[5]}
+            OR dup_10gram_char_frac > {_DUP_TH[10]}) AS repetitive_ngram
+    FROM pivoted
+"""
+
+
+@register("repetition_ngram_rules", oracle=_NGRAM_REP_SQL)
+def repetition_ngram_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    nch = F.length(text).cast("long")
+
+    def frac(cov: F.Column) -> F.Column:
+        return F.least(
+            F.lit(1.0),
+            F.when(nch > 0, cov.cast("double") / nch.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+
+    cols = {
+        f"top_{n}gram_char_frac": frac(ts.top_ngram_cov_expr(text, n))
+        for n in (2, 3, 4)
+    } | {
+        f"dup_{n}gram_char_frac": frac(ts.dup_ngram_chars_expr(text, n))
+        for n in (5, 10)
+    }
+    trip = (
+        (cols["top_2gram_char_frac"] > _TOP_TH[2])
+        | (cols["top_3gram_char_frac"] > _TOP_TH[3])
+        | (cols["top_4gram_char_frac"] > _TOP_TH[4])
+        | (cols["dup_5gram_char_frac"] > _DUP_TH[5])
+        | (cols["dup_10gram_char_frac"] > _DUP_TH[10])
+    )
+    return d.select(
+        "doc_id",
+        *[c.alias(name) for name, c in cols.items()],
+        trip.alias("repetitive_ngram"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Language-ID: integer stop-word scores per language + argmax with fixed
 # tie-break. Spark side uses the production pandas UDF — proving the UDF
 # against the SQL twin is the point.

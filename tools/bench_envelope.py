@@ -72,6 +72,12 @@ from isimip_qa_spark.functions.qa_fused import _fused_series
 
 src = sys.argv[2]          # pre-staged parquet-zstd pages file (tmpfs)
 scratch = sys.argv[3]      # per-worker scratch dir (tmpfs)
+# the engine feeds the kernel SPARK_GRAFT_ARROW_BATCH-row Arrow batches
+# (session.py maxRecordsPerBatch, default 4096) — the probe must match that
+# working-set size or it measures a different cache regime: a 20k-row batch
+# spills the per-core cache share and showed ~0.5 per-worker 2->8 where the
+# engine itself measures 0.765
+BATCH = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "4096"))
 # warm model tables + page cache
 tbl = pq.read_table(src, columns=["url", "text"])
 _fused_series(tbl.column("text").to_pandas().head(64))
@@ -82,23 +88,30 @@ while time.time() < t_end:
     # (a) scan: parquet-zstd decode with column pruning, like the engine scan
     tbl = pq.read_table(src, columns=["url", "text"])
     texts = tbl.column("text").to_pandas()
-    # (b) compute: the actual fused kernel
-    scores = _fused_series(texts)
-    scored = pa.Table.from_pandas(
-        pd.concat([pd.DataFrame({"url": tbl.column("url").to_pandas()}), scores],
-                  axis=1),
-        preserve_index=False,
-    )
-    # (c) exchange stand-in: lz4 Arrow IPC write + read back on tmpfs
+    urls = tbl.column("url").to_pandas()
+    # (b) compute + (c) exchange, per engine-sized Arrow batch
     shuf = os.path.join(scratch, "shuffle.arrow")
-    with pa.ipc.new_file(pa.OSFile(shuf, "wb"), scored.schema,
-                         options=pa.ipc.IpcWriteOptions(compression="lz4")) as w:
-        w.write_table(scored)
-    with pa.ipc.open_file(shuf) as r:
-        scored = r.read_all()
-    # (d) sink: parquet-zstd write, like the metrics/kept-docs sink
-    pq.write_table(scored, os.path.join(scratch, "out.parquet"),
-                   compression="zstd")
+    for lo in range(0, len(texts), BATCH):
+        chunk = texts.iloc[lo:lo + BATCH].reset_index(drop=True)
+        scores = _fused_series(chunk)
+        scored = pa.Table.from_pandas(
+            pd.concat(
+                [pd.DataFrame(
+                    {"url": urls.iloc[lo:lo + BATCH].reset_index(drop=True)}),
+                 scores],
+                axis=1,
+            ),
+            preserve_index=False,
+        )
+        # exchange stand-in: lz4 Arrow IPC write + read back on tmpfs
+        with pa.ipc.new_file(pa.OSFile(shuf, "wb"), scored.schema,
+                             options=pa.ipc.IpcWriteOptions(compression="lz4")) as w:
+            w.write_table(scored)
+        with pa.ipc.open_file(shuf) as r:
+            scored = r.read_all()
+        # (d) sink: parquet-zstd write, like the metrics/kept-docs sink
+        pq.write_table(scored, os.path.join(scratch, "out.parquet"),
+                       compression="zstd")
     n += 1
 # report loops/sec with the TRUE elapsed (whole loops overshoot t_end, so
 # n/secs would quantize badly at small n)
