@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "dedup_url_latest",
     "host_blocklist",
     "lang_rebalance",
+    "shard_shuffle",
+    "stratified_split",
+    "host_quota_sample",
     "normalize_text",
     "host_reputation",
     "extract_text",

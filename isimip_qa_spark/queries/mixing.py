@@ -170,3 +170,131 @@ def lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "bucket")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-set assembly: deterministic global shuffle, stratified split,
+# per-host quota. The three selection ops between curation and packing.
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16  # test-scale; at 10^12 docs this is O(corpus/shard_size)
+SPLIT_BUCKETS = 100  # train/valid/test = <96 / <98 / rest
+HOST_QUOTA = 5  # max docs kept per source at test scale
+
+
+@register(
+    "shard_shuffle",
+    oracle=f"""
+    SELECT doc_id, shard_id, pos FROM (
+      SELECT doc_id, shard_id,
+             row_number() OVER (PARTITION BY shard_id ORDER BY fp, doc_id)
+               AS pos
+      FROM (
+        SELECT doc_id,
+               {rolling_fingerprint_sql(_TOKENS_SQL)} AS fp,
+               (({rolling_fingerprint_sql(_TOKENS_SQL)} % {N_SHARDS})
+                + {N_SHARDS}) % {N_SHARDS} AS shard_id
+        FROM documents
+      )
+    )
+    """,
+)
+def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: every doc gets a content-fingerprint
+    key; shard = key mod N, position = rank of (key, doc_id) within the
+    shard. The training-data randomisation step, with none of `rand()`'s
+    retry/rerun nondeterminism — the permutation is a pure function of the
+    corpus.
+
+    Scale shape: ONE exchange keyed on the 8-byte shard id, then each task
+    sorts only its own shard (Window partitioned BY shard_id — never a
+    global order). Shard sizes are ~n/N ± Poisson noise because the
+    fingerprint is uniform, so no shard skews; at 10^12 docs pick N so a
+    shard fits a task (the same sizing rule as shuffle partitions)."""
+    d = read_table(spark, sf_dir, "documents")
+    fp = rolling_fingerprint_expr(ts.tokens_expr(F.col("text")))
+    keyed = d.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.pmod(fp, F.lit(N_SHARDS)).alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("fp", "doc_id")
+    return keyed.select(
+        "doc_id", "shard_id", F.row_number().over(w).alias("pos")
+    )
+
+
+@register(
+    "stratified_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 96 THEN 'train'
+                WHEN bucket < 98 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, lang,
+             (({rolling_fingerprint_sql(_TOKENS_SQL)} % {SPLIT_BUCKETS})
+              + {SPLIT_BUCKETS}) % {SPLIT_BUCKETS} AS bucket
+      FROM documents
+    )
+    """,
+)
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment (96/2/2) from the content
+    fingerprint: membership is a pure function of the text, so recrawled or
+    re-ingested copies of a document land in the same split — the property
+    that prevents silent train/test leakage across dataset versions.
+    Stratification is inherent: the fingerprint is independent of `lang`,
+    so each language splits ~96/2/2 without per-lang bookkeeping. Zero
+    shuffle; the predicate stays in the scan stage."""
+    d = read_table(spark, sf_dir, "documents")
+    fp = rolling_fingerprint_expr(ts.tokens_expr(F.col("text")))
+    bucket = F.pmod(fp, F.lit(SPLIT_BUCKETS))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 96, F.lit("train"))
+        .when(bucket < 98, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@register(
+    "host_quota_sample",
+    oracle=f"""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id
+             ) AS rk
+      FROM (
+        SELECT doc_id, source, {QUALITY_SQL} AS quality FROM documents
+      )
+    )
+    WHERE rk <= {HOST_QUOTA}
+    """,
+)
+def host_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap: keep the top-QUOTA docs per source by quality
+    (ties broken by doc_id) — the domain-diversity guard that stops a
+    single boilerplate-heavy host from dominating the corpus.
+
+    Scale shape: one exchange keyed on source; rank is a window per source.
+    Hosts are Zipfian, so the hot-host discipline applies: the QA pipeline's
+    measured salting (plans/skew.py) bounds the skew, and because row_number
+    only needs the per-host top QUOTA, a pre-aggregation that keeps each
+    map partition's local top-QUOTA before the exchange caps the shuffle at
+    QUOTA × partitions rows per host — at crawl scale enable it by feeding
+    this query through the same local top-k pattern as topk_per_group."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", quality_expr(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        scored.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= HOST_QUOTA)
+    )
