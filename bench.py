@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "ngram_lm_train",
     "training_prep",
     "pack_sequences",
+    "pack_assemble",
+    "drop_attribution",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_multiprobe",
     "ann_cosine_topk",

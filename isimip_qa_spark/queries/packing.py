@@ -140,3 +140,57 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("len"),
     )
+
+
+_ASSEMBLE_SQL = f"""
+    WITH spans AS ({_PACK_SQL}),
+    pieces AS (
+      SELECT s.seq_id, s.seq_start, s.len,
+             array_to_string(
+               list_slice(string_split(d.text, ' '),
+                          s.doc_start + 1, s.doc_start + s.len), ' ') AS piece
+      FROM spans s JOIN documents d USING (doc_id)
+    )
+    SELECT seq_id,
+           string_agg(piece, ' ' ORDER BY seq_start) AS seq_text,
+           sum(len)::BIGINT AS n_tokens
+    FROM pieces GROUP BY seq_id
+"""
+
+
+@register("pack_assemble", oracle=_ASSEMBLE_SQL)
+def pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialise the packed sequences: join the span map back to the
+    documents, slice each document's token window, and reassemble per
+    sequence in seq_start order. Every sequence except the last is exactly
+    SEQ_LEN tokens — the actual trainer input.
+
+    Scale shape: text moves exactly twice — once through the doc_id join
+    (spans are 24-byte rows; the documents side carries the text) and once
+    through the seq_id grouping (each piece is ≤ SEQ_LEN tokens). Both are
+    plain hash exchanges on 8-byte keys; the per-sequence sort is
+    `array_sort` over ≤ SEQ_LEN/1-token structs inside the aggregate, never
+    a global or per-partition sort. At 10^12 docs pre-bucketing both sides
+    on doc_id (write_pages layout) elides the first exchange."""
+    spans = pack_sequences(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    pieces = spans.join(docs, "doc_id").select(
+        "seq_id",
+        "seq_start",
+        F.col("len"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("doc_start") + 1, F.col("len"))
+        ).alias("piece"),
+    )
+    parts = F.array_sort(
+        F.collect_list(F.struct("seq_start", "piece"))
+    )
+    return pieces.groupBy("seq_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(parts, lambda p: p["piece"]),
+        ).alias("seq_text"),
+        F.sum("len").cast("long").alias("n_tokens"),
+    )

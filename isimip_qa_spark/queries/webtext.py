@@ -485,3 +485,120 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(blob).cast("long").alias("n_bytes"),
         F.ascii(F.col("text")).cast("int").alias("first_byte"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Keep/drop funnel: per-rule violation counts plus waterfall attribution
+# (first-failing-rule in a fixed order) — the observability report a QA
+# pipeline owner reads before touching any threshold. One scan, one
+# conditional hash-agg to a single row, stack()ed into the report shape on
+# the driver side of the plan; no explode, no per-rule pass.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_RULES = [
+    # (name, DuckDB violation predicate over the s CTE columns)
+    ("n_words", "n_words < 50 OR n_words > 100000"),
+    ("mean_word_len", "mean_word_len < 2.0 OR mean_word_len > 12.0"),
+    ("symbol_ratio", "symbol_ratio > 0.1"),
+    ("distinct_word_ratio", "distinct_word_ratio < 0.1"),
+    ("stopword_ratio", "stopword_ratio < 0.01"),
+    ("ellipsis_count", "ellipsis_count > 5"),
+    ("dup_line_frac", "dup_line_frac > 0.3"),
+    ("dup_para_frac", "dup_para_frac > 0.3"),
+    ("dup_2gram_frac", "dup_2gram_frac > 1.0"),
+]
+
+_FUNNEL_STATS_SQL = f"""
+      SELECT doc_id,
+             len({_TOKENS_SQL})::BIGINT AS n_words,
+             length(replace(text, ' ', ''))::DOUBLE / len({_TOKENS_SQL}) AS mean_word_len,
+             len(regexp_extract_all(text, '{ts.SYMBOL_CLASS}'))::DOUBLE / len({_TOKENS_SQL}) AS symbol_ratio,
+             len(list_distinct({_TOKENS_SQL}))::DOUBLE / len({_TOKENS_SQL}) AS distinct_word_ratio,
+             len(list_filter({_TOKENS_LOWER_SQL}, x -> list_contains({_sw_list_sql(ts.EN_STOPWORDS)}, x)))::DOUBLE
+               / len({_TOKENS_SQL}) AS stopword_ratio,
+             len(regexp_extract_all(text, '\\.\\.\\.'))::BIGINT AS ellipsis_count,
+             {_dup_frac_sql("string_split(text, chr(10))")} AS dup_line_frac,
+             {_dup_frac_sql("string_split(text, chr(10) || chr(10))")} AS dup_para_frac,
+             {_dup_frac_sql(_2GRAMS_SQL)} AS dup_2gram_frac
+      FROM documents
+"""
+
+_FUNNEL_SQL = (
+    f"WITH s AS ({_FUNNEL_STATS_SQL}),\n    flags AS (\n      SELECT "
+    + ",\n             ".join(
+        f"({pred}) AS v{i}" for i, (_, pred) in enumerate(_FUNNEL_RULES)
+    )
+    + ",\n             CASE "
+    + " ".join(
+        f"WHEN ({pred}) THEN {i}"
+        for i, (_, pred) in enumerate(_FUNNEL_RULES)
+    )
+    + " END AS first_fail FROM s\n    ),\n    agg AS (\n      SELECT "
+    + ",\n             ".join(
+        f"sum(v{i}::INT)::BIGINT AS nv{i},"
+        f" sum((first_fail = {i})::INT)::BIGINT AS na{i}"
+        for i in range(len(_FUNNEL_RULES))
+    )
+    + ",\n             sum((first_fail IS NULL)::INT)::BIGINT AS kept"
+    " FROM flags\n    )\n    "
+    + "SELECT rule, n_viol, n_attributed FROM agg, (VALUES "
+    + ", ".join(f"('{n}')" for n, _ in _FUNNEL_RULES)
+    + ", ('(kept)')) AS r(rule), LATERAL (SELECT CASE rule "
+    + " ".join(
+        f"WHEN '{n}' THEN nv{i}" for i, (n, _) in enumerate(_FUNNEL_RULES)
+    )
+    + " ELSE 0 END AS n_viol, CASE rule "
+    + " ".join(
+        f"WHEN '{n}' THEN na{i}" for i, (n, _) in enumerate(_FUNNEL_RULES)
+    )
+    + " ELSE kept END AS n_attributed) AS x"
+)
+
+
+@register("drop_attribution", oracle=_FUNNEL_SQL)
+def drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule violation counts (marginal) and waterfall attribution (docs
+    whose FIRST failing rule, in the fixed funnel order, is this one), plus
+    a '(kept)' row. The report that tells a pipeline owner which threshold
+    is doing the dropping before they tune anything.
+
+    Scale shape: one scan → one conditional hash-agg collapsing to a single
+    row (partial aggregation map-side) → stack() into report rows. The
+    corpus never shuffles; the only exchange carries one row."""
+    d = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    c = ts.rule_columns(text)
+    th = ts.GopherThresholds()
+    viol = {
+        "n_words": (c["n_words"] < th.min_words)
+        | (c["n_words"] > th.max_words),
+        "mean_word_len": (c["mean_word_len"] < th.min_mean_word_len)
+        | (c["mean_word_len"] > th.max_mean_word_len),
+        "symbol_ratio": c["symbol_ratio"] > th.max_symbol_ratio,
+        "distinct_word_ratio": c["distinct_word_ratio"]
+        < th.min_distinct_word_ratio,
+        "stopword_ratio": c["stopword_ratio"] < th.min_stopword_ratio,
+        "ellipsis_count": c["ellipsis_count"] > th.max_ellipsis,
+        "dup_line_frac": c["dup_line_frac"] > th.max_dup_line_frac,
+        "dup_para_frac": c["dup_para_frac"] > th.max_dup_para_frac,
+        "dup_2gram_frac": c["dup_2gram_frac"] > th.max_dup_2gram_frac,
+    }
+    order = [n for n, _ in _FUNNEL_RULES]
+    first = F.coalesce(
+        *[F.when(viol[n], F.lit(i)) for i, n in enumerate(order)]
+    )
+    aggs = []
+    for i, n in enumerate(order):
+        aggs.append(F.sum(viol[n].cast("long")).alias(f"nv{i}"))
+        aggs.append(F.sum((first == i).cast("long")).alias(f"na{i}"))
+    aggs.append(F.sum(first.isNull().cast("long")).alias("kept"))
+    row = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{n}', nv{i}, na{i}" for i, n in enumerate(order)
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(order) + 1}, {stack_args}, '(kept)', 0L, kept)"
+            " as (rule, n_viol, n_attributed)"
+        )
+    )

@@ -71,3 +71,28 @@ def test_pack_sequences_deterministic_and_parallel_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "windowspecdefinition(pid" in plan.lower() or "pid" in plan
+
+
+def test_pack_assemble_materializes_exact_sequences(spark):
+    from isimip_qa_spark.queries.packing import pack_assemble
+
+    rows = pack_assemble(spark, SF).collect()
+    by_seq = {r["seq_id"]: r for r in rows}
+    last = max(by_seq)
+    for s, r in by_seq.items():
+        n = len(r["seq_text"].split(" "))
+        assert n == r["n_tokens"]
+        if s != last:
+            assert n == SEQ_LEN
+    # global reconstruction: concatenating sequences in seq_id order equals
+    # concatenating documents in doc_id order
+    joined = " ".join(by_seq[s]["seq_text"] for s in sorted(by_seq))
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text").collect()
+    )
+    original = " ".join(
+        d["text"] for d in sorted(docs, key=lambda d: d["doc_id"])
+        if d["text"]
+    )
+    assert joined == original

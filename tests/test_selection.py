@@ -69,3 +69,20 @@ def test_host_quota_caps_every_source(spark):
     # 20 sources x 25 docs each at sf0.01 → every source saturates its quota
     assert len(per_src) == 20
     assert set(per_src.values()) == {HOST_QUOTA}
+
+
+def test_drop_attribution_funnel_consistency(spark):
+    from isimip_qa_spark.queries.webtext import drop_attribution
+
+    rows = {r["rule"]: r for r in drop_attribution(spark, SF).collect()}
+    kept = rows.pop("(kept)")
+    # waterfall covers every doc exactly once
+    assert sum(r["n_attributed"] for r in rows.values()) + kept["n_attributed"] == 500
+    # attribution never exceeds the marginal violation count
+    for r in rows.values():
+        assert 0 <= r["n_attributed"] <= r["n_viol"]
+    # keep-rate agrees with the keep_expr-based gopher_rules query
+    from isimip_qa_spark.queries.webtext import gopher_rules
+
+    n_keep = gopher_rules(spark, SF).filter("keep").count()
+    assert kept["n_attributed"] == n_keep
