@@ -153,3 +153,109 @@ def pages_to_media(pages: DataFrame) -> DataFrame:
         F.col("html").alias("payload"),
         F.create_map(F.lit("url"), F.col("url")).alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize + frame sampling: the remaining two multimodal verbs. Same stub
+# discipline as decode (real backend iff PIL imports; deterministic fake
+# otherwise), real Spark plumbing either way.
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int"
+)
+FRAME_SCHEMA = "media_id long, frame_idx int, ts_ms long, frame binary"
+
+
+def _resize_image_pil(payload: bytes, width: int, height: int) -> bytes:
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload))
+    buf = io.BytesIO()
+    img.resize((width, height)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: a tagged header + a strided byte sample
+    whose length scales with the target area — stable for exact tests."""
+    k = max(1, len(payload) // max(1, width * height // 64))
+    return b"RSZ1" + width.to_bytes(2, "big") + height.to_bytes(2, "big") + payload[::k][: width * height // 8]
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Feature-flagged resize (the decode_image pattern): PIL re-encode for
+    real image payloads when importable, the deterministic stub otherwise."""
+    if HAVE_PIL and sniff_magic(payload[:4]) in ("png", "jpeg"):
+        try:
+            return _resize_image_pil(payload, width, height)
+        except Exception:
+            return resize_image_stub(payload, width, height)
+    return resize_image_stub(payload, width, height)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas resize: payload in, resized payload out, 1:1 rows.
+    Binary stays columnar through Arrow; only (media_id, kind, payload)
+    enter the executor (column pruning is asserted in tests)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "payload": [
+                        resize_image(bytes(p), width, height)
+                        for p in pdf["payload"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+def sample_frame_count_stub(payload: bytes) -> int:
+    """Deterministic fake frame count for an opaque 'video' payload."""
+    return 1 + len(payload) % 7
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling: 1→N cardinality change through mapInPandas — each
+    media row explodes into its sampled frames with (frame_idx, ts_ms).
+    The decode is the deterministic stub (no video libs in the container):
+    frame bytes are deterministic payload slices, so tests assert exact
+    values end-to-end. A real deployment swaps the two stub calls for
+    pyav/ffmpeg keyframe extraction; the Spark contract (schema, Arrow
+    batching, pruning, explode shape) is unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                n = sample_frame_count_stub(payload)
+                step = max(1, len(payload) // n) if payload else 1
+                for i in range(n):
+                    rows.append(
+                        (
+                            int(mid),
+                            i,
+                            i * every_ms,
+                            payload[i * step : (i + 1) * step],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_ms", "frame"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )

@@ -69,3 +69,53 @@ def test_decode_image_feature_flag():
         assert abs(sum(feat) - 1.0) < 1e-9
     else:
         assert (w, h, feat) == decode_image_stub(png)  # deterministic stub
+
+
+def test_resize_images_1to1_and_deterministic(spark, pages_sdf):
+    from isimip_qa_spark.operators.multimodal import (
+        resize_image,
+        resize_images,
+    )
+
+    media = pages_to_media(pages_sdf.limit(50))
+    out = resize_images(media, 32, 24).toPandas()
+    assert len(out) == 50
+    assert (out["width"] == 32).all() and (out["height"] == 24).all()
+    # deterministic: driver-side recompute of one payload
+    src = {bytes(r["payload"]) for r in media.collect()}
+    resized = {bytes(p) for p in out["payload"]}
+    assert {resize_image(p, 32, 24) for p in src} == resized
+
+
+def test_sample_frames_explodes_deterministically(spark, pages_sdf):
+    from isimip_qa_spark.operators.multimodal import (
+        sample_frame_count_stub,
+        sample_frames,
+    )
+
+    media = pages_to_media(pages_sdf.limit(50))
+    frames = sample_frames(media, every_ms=500).toPandas()
+    expected = sum(
+        sample_frame_count_stub(bytes(r["payload"])) for r in media.collect()
+    )
+    assert len(frames) == expected
+    # per-media frames are contiguous from 0 with the right timestamps
+    for mid, grp in frames.groupby("media_id"):
+        idx = sorted(grp["frame_idx"])
+        assert idx == list(range(len(idx)))
+        assert set(grp["ts_ms"]) == {i * 500 for i in idx}
+        assert grp["frame"].map(lambda b: len(bytes(b)) > 0).all()
+
+
+def test_multimodal_plans_prune_to_consumed_columns(spark, pages_sdf):
+    from isimip_qa_spark.operators.multimodal import sample_frames
+
+    media = pages_to_media(pages_sdf)
+    plan = (
+        sample_frames(media)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the sampler consumes only (media_id, payload): the meta map (and its
+    # create_map expr) must be pruned out of the plan entirely
+    assert "create_map" not in plan
+    assert "payload" in plan
