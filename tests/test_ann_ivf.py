@@ -21,7 +21,11 @@ def _brute(v, centroids):
             vv += x * x
         for y in c:
             cc += y * y
-        sims.append(dot / (np.sqrt(vv) * np.sqrt(cc)))
+        # the degenerate-vector row underflows vv to 0.0 → 0/0 = nan on
+        # purpose: both engines then resolve ALL-nan rows by stable input
+        # order (see _ivf_probe_series), which is what the test pins
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims.append(dot / (np.sqrt(vv) * np.sqrt(cc)))
     return sims
 
 
