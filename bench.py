@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "extract_text",
     "quality_classifier",
     "ngram_lm_train",
+    "quality_train_nb",
+    "snapshot_diff",
+    "rule_threshold_sweep",
     "training_prep",
     "pack_sequences",
     "pack_assemble",

@@ -49,6 +49,7 @@ def load_all() -> None:
         textmodel,
         training_prep,
         urlops,
+        versioning,
         webtext,
     )
 

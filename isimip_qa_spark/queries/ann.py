@@ -427,9 +427,14 @@ def _ivf_probe_series(embs, centroid_ids, centroids, nprobe):
     vv = np.cumsum(V * V, axis=1)[:, -1]
     cc = np.cumsum(C * C, axis=1)[:, -1]
     sims = np.empty((V.shape[0], C.shape[0]))
-    for k in range(C.shape[0]):
-        dots = np.cumsum(V * C[k], axis=1)[:, -1]
-        sims[:, k] = dots / (np.sqrt(vv) * np.sqrt(cc[k]))
+    # a zero-norm (or underflowed) vector yields an all-nan sim row; the
+    # stable argsort below then keeps input order, i.e. degenerate vectors
+    # probe the first `nprobe` centroids deterministically — same contract
+    # as the DuckDB twin's row_number tie-break over an all-nan partition
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for k in range(C.shape[0]):
+            dots = np.cumsum(V * C[k], axis=1)[:, -1]
+            sims[:, k] = dots / (np.sqrt(vv) * np.sqrt(cc[k]))
     order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
     ids = np.asarray(centroid_ids, dtype=np.int64)
     return pd.Series(list(ids[order]), dtype="object")

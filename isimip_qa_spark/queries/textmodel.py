@@ -232,3 +232,96 @@ def ngram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_train_nb — Naive-Bayes trainer distilling heuristic keep labels
+# ---------------------------------------------------------------------------
+
+_SMOOTH = 1  # add-one (Laplace) smoothing
+
+
+def _nb_sql() -> str:
+    # label CTE = the full production Gopher keep decision (webtext._GOPHER_SQL
+    # as a subquery), so the trained table distills exactly the rules the
+    # pipeline ships
+    from .webtext import _GOPHER_SQL
+
+    return f"""
+    WITH lbl AS (SELECT doc_id, keep FROM ({_GOPHER_SQL}) g),
+    tok AS (
+      SELECT l.keep, unnest({_TOKENS_SQL}) AS t
+      FROM documents d JOIN lbl l ON d.doc_id = l.doc_id
+    ),
+    bk AS (
+      SELECT ({token_hash_sql('t')}) % {N_BUCKETS} AS bucket,
+             sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+             sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_drop
+      FROM tok GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_keep)::BIGINT AS t_keep,
+                   sum(n_drop)::BIGINT AS t_drop FROM bk)
+    SELECT bucket, n_keep, n_drop,
+           (n_keep + {_SMOOTH})::DOUBLE / (t_keep + {_SMOOTH * N_BUCKETS}) AS p_keep,
+           (n_drop + {_SMOOTH})::DOUBLE / (t_drop + {_SMOOTH * N_BUCKETS}) AS p_drop
+    FROM bk CROSS JOIN tot ORDER BY bucket
+"""
+
+
+@register("quality_train_nb", _nb_sql())
+def quality_train_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a hashed-feature Naive-Bayes quality model from heuristic labels.
+
+    The standard bootstrap for a learned quality gate (the fastText-style
+    classifier in the north star): label every document with the heuristic
+    Gopher keep decision, then distill those labels into per-bucket class
+    statistics a cheap scorer can apply where the full rule set is too
+    expensive or too brittle. Output is the trained table — one row per
+    feature bucket with class-conditional token counts and Laplace-smoothed
+    conditional probabilities. `p_keep`/`p_drop` are single IEEE divisions
+    of exact int64 sums (bit-identical cross-engine); a scorer sums their
+    logs, which is engine-local arithmetic on this exactly-reproducible
+    table. `quality_classifier` above is the matching inference shape (the
+    weight lookup compiled into the plan).
+
+    Scale shape: ONE corpus scan computes the keep label and the token
+    array in the same projection (no join back to the corpus — the label is
+    an expression, not a table); explode feeds a hash agg keyed on the
+    bucket id whose cardinality is {N_BUCKETS}, so map-side partial
+    aggregation collapses every task's token stream to ≤ {N_BUCKETS} rows
+    before the one exchange. Class totals are a whole-frame window over the
+    ALREADY-AGGREGATED table — its single task is bounded by {N_BUCKETS}
+    rows by construction, and the corpus subtree is not recomputed (a
+    re-aggregate + broadcast-join formulation evaluates the scan+explode
+    twice; asserted in tests)."""
+    docs = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    ex = docs.select(
+        ts.keep_expr(text).alias("keep"),
+        F.explode(ts.tokens_expr(text)).alias("t"),
+    )
+    bucket = token_hash_expr(F.col("t")) % F.lit(N_BUCKETS)
+    bk = ex.groupBy(bucket.alias("bucket")).agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_drop"),
+    )
+    w = Window.partitionBy()
+    d = _SMOOTH * N_BUCKETS
+    return (
+        bk.withColumn("t_keep", F.sum("n_keep").over(w))
+        .withColumn("t_drop", F.sum("n_drop").over(w))
+        .select(
+            "bucket",
+            "n_keep",
+            "n_drop",
+            (
+                (F.col("n_keep") + F.lit(_SMOOTH)).cast("double")
+                / (F.col("t_keep") + F.lit(d))
+            ).alias("p_keep"),
+            (
+                (F.col("n_drop") + F.lit(_SMOOTH)).cast("double")
+                / (F.col("t_drop") + F.lit(d))
+            ).alias("p_drop"),
+        )
+        .orderBy("bucket")
+    )

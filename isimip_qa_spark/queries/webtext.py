@@ -602,3 +602,93 @@ def drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as (rule, n_viol, n_attributed)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rule_threshold_sweep — keep-rate curve per candidate threshold
+# ---------------------------------------------------------------------------
+
+# the sweep grids are pipeline config, compiled into the agg like the rule
+# thresholds themselves (drop_attribution pattern): corpus never joins a dim
+SWEEP_GRID: list[tuple[str, float]] = [
+    ("stopword_ratio", t) for t in (0.0, 0.005, 0.01, 0.02, 0.05, 0.1)
+] + [("min_words", float(t)) for t in (10, 25, 50, 75, 100, 150)]
+
+
+def _sweep_sql() -> str:
+    sw = (
+        f"len(list_filter({_TOKENS_LOWER_SQL}, "
+        f"x -> list_contains({_sw_list_sql(ts.EN_STOPWORDS)}, x)))::DOUBLE"
+        f" / len({_TOKENS_SQL})"
+    )
+    nw = f"len({_TOKENS_SQL})::BIGINT"
+    conds = {
+        "stopword_ratio": lambda t: f"sw >= {t!r}",
+        "min_words": lambda t: f"nw >= {t!r}",
+    }
+    rows = " UNION ALL ".join(
+        f"SELECT '{rule}' AS rule, {t!r}::DOUBLE AS threshold, n_docs, "
+        f"p{i} AS n_pass, p{i}::DOUBLE / n_docs AS pass_rate FROM r"
+        for i, (rule, t) in enumerate(SWEEP_GRID)
+    )
+    passes = ", ".join(
+        f"sum(CASE WHEN {conds[rule](t)} THEN 1 ELSE 0 END)::BIGINT AS p{i}"
+        for i, (rule, t) in enumerate(SWEEP_GRID)
+    )
+    return f"""
+    WITH s AS (SELECT {sw} AS sw, {nw} AS nw FROM documents),
+    r AS (SELECT count(*)::BIGINT AS n_docs, {passes} FROM s)
+    SELECT * FROM ({rows}) ORDER BY rule, threshold
+"""
+
+
+@register("rule_threshold_sweep", _sweep_sql())
+def rule_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-rate at each candidate threshold for the tunable rules — the
+    sweep a pipeline owner runs BEFORE committing a threshold change
+    (drop_attribution reports where the current thresholds bite; this
+    reports what any other choice would do, in one pass).
+
+    Scale shape: same as drop_attribution — one scan computes each rule
+    statistic once, one conditional hash-agg collapses the corpus to a
+    single row of {n} counters (map-side partials), stack() turns it into
+    report rows. The corpus never shuffles and never joins the grid; the
+    only exchange carries one row."""
+    d = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    stats = d.select(
+        ts.stopword_ratio_expr(text, ts.EN_STOPWORDS).alias("sw"),
+        ts.n_words_expr(text).alias("nw"),
+    )
+    conds = {
+        "stopword_ratio": lambda t: F.col("sw") >= t,
+        "min_words": lambda t: F.col("nw") >= t,
+    }
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for i, (rule, t) in enumerate(SWEEP_GRID):
+        aggs.append(
+            F.sum(conds[rule](t).cast("long")).alias(f"p{i}")
+        )
+    row = stats.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{rule}', {t!r}D, p{i}" for i, (rule, t) in enumerate(SWEEP_GRID)
+    )
+    return (
+        row.select(
+            "n_docs",
+            F.expr(
+                f"stack({len(SWEEP_GRID)}, {stack_args})"
+                " as (rule, threshold, n_pass)"
+            ),
+        )
+        .select(
+            "rule",
+            "threshold",
+            "n_docs",
+            "n_pass",
+            (F.col("n_pass").cast("double") / F.col("n_docs")).alias(
+                "pass_rate"
+            ),
+        )
+        .orderBy("rule", "threshold")
+    )
