@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "quality_classifier",
     "ngram_lm_train",
     "quality_train_nb",
+    "corpus_datasheet",
+    "doclen_histogram",
     "snapshot_diff",
     "rule_threshold_sweep",
     "training_prep",

@@ -39,6 +39,7 @@ def load_all() -> None:
     from . import (  # noqa: F401
         ann,
         curation,
+        datasheet,
         decontaminate,
         dedup,
         extract,
