@@ -38,6 +38,7 @@ def load_all() -> None:
         return
     from . import (  # noqa: F401
         ann,
+        bloom,
         curation,
         datasheet,
         decontaminate,
@@ -47,6 +48,7 @@ def load_all() -> None:
         mixing,
         packing,
         reference_ops,
+        substring,
         textmodel,
         training_prep,
         urlops,
