@@ -1,0 +1,186 @@
+"""Filter-evaluation operators: does the cheap score agree with the rules?
+
+A production curation team runs these constantly: (a) how well does the
+continuous quality score *rank* documents against the binary keep label
+(ROC-AUC — the fastText-classifier acceptance metric in the north_star),
+and (b) how far do two independent rule sets agree beyond chance (Cohen's
+kappa between the Gopher and C4 gates). The reference's analogue is its
+assessment layer comparing extraction outputs against validity assertions
+(/root/reference/isimip_qa/assessments.py); here the "assertion" is one
+labeller and the "extraction" is another.
+
+Both are exact-integer constructions so the cross-engine hash matches:
+
+- AUC: scores are binned to B fixed-width buckets (the binned/tied AUC
+  estimator — within-bin pairs count 1/2). All pair counting is int64
+  (numer = Σ_bins n_pos·(2·cum_neg_below + n_neg), denom = 2·P·N); the
+  only float op is the final division, bit-identical in both engines.
+  Scale shape: ONE corpus scan → hash agg keyed (lang, bin) with map-side
+  combine (≤ langs·B rows survive), then windows over the aggregated
+  table, bounded by B rows per lang BY CONSTRUCTION (the textmodel.py
+  N_BUCKETS pattern) — never a window over corpus rows. An exact
+  (unbinned) AUC would need a global sort of distinct scores; the binned
+  estimator is the 10^12-doc answer and its bias is bounded by the bin
+  width (≤ 1/B of the score range per tied pair).
+- kappa: a 2×2 confusion matrix per lang from ONE conditional hash agg
+  (the corpus crosses one lang-keyed exchange carrying four int64s), then
+  kappa = (n·(a+d) − pe_num) / (n² − pe_num) with pe_num =
+  (a+b)(a+c) + (c+d)(b+d) — all int64, one final division. int64 products
+  overflow beyond ~3·10^9 docs per lang; production promotes the six
+  products to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) with the same
+  expression tree. ANSI mode makes any overflow loud, never silent.
+  The two labellers are the Gopher structural keep gate and the
+  thresholded quality-score gate (score ≥ τ) — the decision-level version
+  of the AUC question, and the pairing with real variation on the fixture
+  corpus (the C4 brace/lorem and repetition gates are constant-true
+  there, so they would exercise nothing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import read_table
+from ..functions import textstats as ts
+from . import register
+from .webtext import _GOPHER_SQL, QUALITY_SQL, quality_expr
+
+AUC_BINS = 512
+
+
+_AUC_SQL = f"""
+    WITH g AS ({_GOPHER_SQL}),
+    q AS (
+      SELECT d.lang,
+             least(CAST(floor(({QUALITY_SQL}) * {AUC_BINS}) AS BIGINT),
+                   {AUC_BINS - 1}) AS bin,
+             g.keep
+      FROM documents d JOIN g USING (doc_id)
+    ),
+    b AS (
+      SELECT lang, bin,
+             sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+             sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_neg
+      FROM q GROUP BY lang, bin
+    ),
+    c AS (
+      SELECT lang, bin, n_pos, n_neg,
+             coalesce(sum(n_neg) OVER (
+               PARTITION BY lang ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_neg
+      FROM b
+    )
+    SELECT lang,
+           sum(n_pos)::BIGINT AS n_pos,
+           sum(n_neg)::BIGINT AS n_neg,
+           CASE WHEN sum(n_pos) = 0 OR sum(n_neg) = 0 THEN NULL
+                ELSE sum(n_pos * (2 * cum_neg + n_neg))::DOUBLE
+                     / (2 * sum(n_pos) * sum(n_neg))
+           END AS auc
+    FROM c GROUP BY lang
+"""
+
+
+@register("quality_auc", oracle=_AUC_SQL)
+def quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned ROC-AUC of the quality score ranking the Gopher keep label,
+    per language. Columns: lang, n_pos, n_neg, auc."""
+    d = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    bin_col = F.least(
+        F.floor(quality_expr(text) * AUC_BINS).cast("long"),
+        F.lit(AUC_BINS - 1),
+    )
+    keep = ts.keep_expr(text)
+    b = (
+        d.select("lang", bin_col.alias("bin"), keep.alias("keep"))
+        .groupBy("lang", "bin")
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_pos"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_neg"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = b.withColumn("cum_neg", F.coalesce(F.sum("n_neg").over(w), F.lit(0)))
+    return c.groupBy("lang").agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.when(
+            (F.sum("n_pos") == 0) | (F.sum("n_neg") == 0), F.lit(None)
+        )
+        .otherwise(
+            F.sum(F.col("n_pos") * (2 * F.col("cum_neg") + F.col("n_neg")))
+            .cast("double")
+            / (2 * F.sum("n_pos") * F.sum("n_neg"))
+        )
+        .alias("auc"),
+    )
+
+
+QUALITY_TAU = 0.6  # score gate threshold (decision-level twin of the AUC)
+
+_KAPPA_SQL = f"""
+    WITH g AS ({_GOPHER_SQL}),
+    j AS (
+      SELECT d.lang, g.keep AS gk,
+             ({QUALITY_SQL}) >= {QUALITY_TAU} AS ck
+      FROM documents d JOIN g USING (doc_id)
+    ),
+    m AS (
+      SELECT lang,
+             sum(CASE WHEN gk AND ck THEN 1 ELSE 0 END)::BIGINT AS a,
+             sum(CASE WHEN gk AND NOT ck THEN 1 ELSE 0 END)::BIGINT AS b,
+             sum(CASE WHEN NOT gk AND ck THEN 1 ELSE 0 END)::BIGINT AS c,
+             sum(CASE WHEN NOT gk AND NOT ck THEN 1 ELSE 0 END)::BIGINT AS d
+      FROM j GROUP BY lang
+    )
+    SELECT lang,
+           a AS n_both_keep, b AS n_rules_only,
+           c AS n_score_only, d AS n_both_drop,
+           CASE WHEN (a+b+c+d)*(a+b+c+d) = (a+b)*(a+c) + (c+d)*(b+d)
+                THEN NULL
+                ELSE ((a+b+c+d)*(a+d) - ((a+b)*(a+c) + (c+d)*(b+d)))::DOUBLE
+                     / ((a+b+c+d)*(a+b+c+d) - ((a+b)*(a+c) + (c+d)*(b+d)))
+           END AS kappa
+    FROM m
+"""
+
+
+@register("rule_agreement", oracle=_KAPPA_SQL)
+def rule_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the Gopher structural keep gate and the
+    thresholded quality-score gate, per language, with the full 2×2
+    confusion matrix."""
+    docs = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    gk = ts.keep_expr(text)
+    ck = quality_expr(text) >= QUALITY_TAU
+
+    def n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    m = docs.select("lang", gk.alias("gk"), ck.alias("ck")).groupBy("lang").agg(
+        n(F.col("gk") & F.col("ck")).alias("a"),
+        n(F.col("gk") & ~F.col("ck")).alias("b"),
+        n(~F.col("gk") & F.col("ck")).alias("c"),
+        n(~F.col("gk") & ~F.col("ck")).alias("d"),
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    ntot = a + b + c + d
+    pe_num = (a + b) * (a + c) + (c + d) * (b + d)
+    return m.select(
+        "lang",
+        a.alias("n_both_keep"),
+        b.alias("n_rules_only"),
+        c.alias("n_score_only"),
+        d.alias("n_both_drop"),
+        F.when(ntot * ntot == pe_num, F.lit(None))
+        .otherwise(
+            (ntot * (a + d) - pe_num).cast("double") / (ntot * ntot - pe_num)
+        )
+        .alias("kappa"),
+    )
