@@ -46,6 +46,7 @@ def load_all() -> None:
         evaluation,
         extract,
         extras,
+        layout,
         mixing,
         packing,
         reference_ops,
