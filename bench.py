@@ -99,6 +99,11 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embed_norm_stats",
+    "dedup_substring_spans",
+    "bloom_dedup",
+    "quality_auc",
+    "rule_agreement",
+    "zorder_key",
 ]
 
 
