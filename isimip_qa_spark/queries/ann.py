@@ -536,3 +536,87 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic dedup via data-driven clustering.
+# The hyperplane/rotation buckets above are DATA-INDEPENDENT blocking —
+# right for near-identical vectors (cos >= 0.98). SemDeDup's point is the
+# semantic band below that: cluster the corpus with a trained coarse
+# quantizer (k-means in the paper; here the same deterministic centroid
+# table the IVF query broadcasts, so the DuckDB twin reproduces the whole
+# algorithm), then flag within-cluster pairs above a SEMANTIC threshold.
+# Scale contract: per-cell work is quadratic in cell size by design, so K
+# scales with n to hold cells at a constant target (the paper runs 50k
+# clusters for LAION); `candidate_pairs` adds the hot-key cap on the cell
+# id as defence in depth (inert at tested scales). Fixture embeddings are
+# near-uniform (max within-cell cos ~= 0.49 at sf0.01) so the oracle row
+# is exact-but-empty; recall is proven by the planted-pair pytest
+# (tests/test_semantic_dedup.py) like the other embedding-dedup queries.
+# ---------------------------------------------------------------------------
+
+SEM_THRESHOLD = 0.8
+
+
+def semantic_pairs(e: DataFrame, cids, cvecs,
+                   threshold: float = SEM_THRESHOLD) -> DataFrame:
+    """Within-cell pairs with cosine >= threshold over (vec_id, v) rows;
+    cell = nearest centroid (ties -> lower id, the IVF contract)."""
+    from .dedup import candidate_pairs
+
+    assigned = e.select(
+        "vec_id", _ivf_probe_udf(F.col("v"), cids, cvecs, 1).getItem(0).alias("k")
+    )
+    cands = candidate_pairs(assigned, "vec_id").select(
+        F.col("vec_id_a").alias("id_a"), F.col("vec_id_b").alias("id_b")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    sims = (
+        cands.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (
+                    F.sqrt(_dot(F.col("va"), F.col("va")))
+                    * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+                )
+            ).alias("sim"),
+        )
+    )
+    return sims.filter(F.col("sim") >= threshold).select(
+        "id_a", "id_b", F.round("sim", 6).alias("sim")
+    )
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_D_SQL} AS v FROM embeddings),
+    {_IVF_ASG_SQL},
+    cells AS (SELECT vec_id, cid AS cell FROM asg WHERE r = 1),
+    ec AS (SELECT e.vec_id, e.v, cells.cell FROM e JOIN cells USING (vec_id)),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_dot_sql('a.v', 'b.v')} /
+               (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})) AS sim
+      FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(sim, 6) AS sim
+    FROM pairs WHERE sim >= {SEM_THRESHOLD}
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    crows = (
+        e.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    return semantic_pairs(
+        e, [r["vec_id"] for r in crows], [list(r["v"]) for r in crows]
+    )

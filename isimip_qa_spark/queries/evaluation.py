@@ -150,6 +150,51 @@ _KAPPA_SQL = f"""
 """
 
 
+def _confusion_sql() -> str:
+    from .webtext import _langid_sql
+
+    return f"""
+    WITH p AS ({_langid_sql()}),
+    j AS (
+      SELECT d.lang, p.lang_pred
+      FROM documents d JOIN p USING (doc_id)
+    ),
+    m AS (
+      SELECT lang, lang_pred, count(*)::BIGINT AS n_docs
+      FROM j GROUP BY lang, lang_pred
+    )
+    SELECT lang, lang_pred, n_docs,
+           n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY lang) AS frac
+    FROM m
+    """
+
+
+@register("langid_confusion", oracle=_confusion_sql())
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-predicted language confusion matrix — the langid drift
+    monitor a crawl QA run reports per snapshot. ONE scan into a hash agg
+    keyed (lang, lang_pred) (≤ |langs|² rows survive the map-side
+    combine); the per-declared-lang share is a window over that bounded
+    aggregate. Prediction is the column-expression argmax
+    (functions/langid.py lang_pred_expr), identical to the fused kernel
+    (bit-equality tested in test_langid.py's suite)."""
+    from ..functions.langid import lang_pred_expr
+
+    d = read_table(spark, sf_dir, "documents")
+    m = (
+        d.select("lang", lang_pred_expr(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return m.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("frac"),
+    )
+
+
 @register("rule_agreement", oracle=_KAPPA_SQL)
 def rule_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the Gopher structural keep gate and the
