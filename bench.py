@@ -104,6 +104,9 @@ BENCH_QUERIES = [
     "quality_auc",
     "rule_agreement",
     "zorder_key",
+    "dedup_semantic",
+    "langid_confusion",
+    "pii_stats",
 ]
 
 

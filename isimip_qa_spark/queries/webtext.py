@@ -339,6 +339,64 @@ def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", scrub_expr(F.col("text")).alias("text_scrubbed"))
 
 
+def _pii_stats_sql() -> str:
+    from ..functions.scrub import ALL_PATTERNS
+
+    names = ["email", "phone", "ip", "toxic"]
+    cols, prior = [], "text"
+    for (pat, _), name in zip(ALL_PATTERNS, names):
+        sql_pat = pat.replace("'", "''")
+        cols.append(
+            f"sum(len(regexp_extract_all({prior}, '{sql_pat}')))::BIGINT"
+            f" AS n_{name}"
+        )
+        prior = f"regexp_replace({prior}, '{sql_pat}', 'x', 'g')"
+    return f"""
+    SELECT source, {", ".join(cols)},
+           sum(CASE WHEN {scrub_oracle_sql("text")} != text
+                    THEN 1 ELSE 0 END)::BIGINT AS docs_affected,
+           count(*)::BIGINT AS n_docs
+    FROM documents GROUP BY source
+    """
+
+
+def pii_stats_frame(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Frame-level core over (group_col, text) — the fixture documents
+    table carries no PII (all-zero rows, oracle still exact), so the
+    planted-PII test drives this directly (tests/test_pii_stats.py)."""
+    from ..functions.scrub import ALL_PATTERNS
+
+    names = ["email", "phone", "ip", "toxic"]
+    aggs = []
+    prior = F.col("text")
+    for (pat, _), name in zip(ALL_PATTERNS, names):
+        aggs.append(
+            F.sum(F.regexp_count(prior, F.lit(pat))).cast("long").alias(f"n_{name}")
+        )
+        prior = F.regexp_replace(prior, pat, "x")
+    return docs.groupBy(group_col).agg(
+        *aggs,
+        F.sum(
+            F.when(scrub_expr(F.col("text")) != F.col("text"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("docs_affected"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register("pii_stats", oracle=_pii_stats_sql())
+def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII/toxicity replacement counts — the scrub stage's
+    audit rollup (what a privacy review reads before a release). Counts
+    follow scrub's SEQUENTIAL semantics: pattern i is counted on the text
+    with patterns < i already replaced, so the numbers are exactly the
+    replacements `scrub_pii` performs (an email's inner phone-shaped run
+    is not double-counted). One scan, conditional hash agg keyed on
+    source — counts travel as int64 partials, text never shuffles."""
+    return pii_stats_frame(read_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Token counting: whitespace tokens + a BPE-ish regex segmentation count.
 # ---------------------------------------------------------------------------
