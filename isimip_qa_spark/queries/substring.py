@@ -32,6 +32,13 @@ Scale shape (the plan at 10^12 docs):
   exchange on doc_id (8 bytes), groups bounded by grams-per-document, and
   the final groupBy(doc_id, grp) reuses the window's partitioning (no
   further exchange).
+- The gram subtree is evaluated TWICE (once under the count aggregate,
+  once as the join probe — 2 scans in the plan, deliberate): the
+  alternatives are materializing the gram table (~10× the corpus bytes
+  written to staging, the right trade only when CPU ≫ IO) or a window
+  count (one pass but buffers a hot gram's entire occurrence group in one
+  task — the wrong trade in a crawl). Lee et al.'s suffix-array pipeline
+  is likewise multi-pass over derived streams.
 
 Gram key collisions: the key is (position-weighted sum of 31-bit token
 hashes, first token). Both engines compute it identically, so the oracle
