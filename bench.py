@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "langid_confusion",
     "pii_stats",
+    "doc_dup_coverage",
+    "bpe_merge_pairs",
 ]
 
 

@@ -168,3 +168,60 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("span_end"),
         F.count(F.lit(1)).alias("n_dup_grams"),
     ).select("doc_id", "span_start", "span_end", "n_dup_grams")
+
+
+# ---------------------------------------------------------------------------
+# Per-doc duplication coverage — the rollup a curator thresholds on
+# ("drop docs that are > X% duplicated passage"), composed from the span
+# table above + per-doc token counts. Spans are disjoint by construction
+# (merged intervals), so coverage = sum of span widths / token count.
+# ---------------------------------------------------------------------------
+
+
+def _coverage_sql(k: int) -> str:
+    return f"""
+    WITH spans AS ({_spans_sql(k)}),
+    cov AS (
+      SELECT doc_id,
+             sum(span_end - span_start + 1)::BIGINT AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+           coalesce(cov.dup_tokens, 0)::BIGINT AS dup_tokens,
+           coalesce(cov.dup_tokens, 0)::DOUBLE
+             / len(string_split(d.text, ' ')) AS dup_frac
+    FROM documents d LEFT JOIN cov USING (doc_id)
+    """
+
+
+@register("doc_dup_coverage", oracle=_coverage_sql(K_GRAM))
+def doc_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, dup_tokens, dup_frac) for every document. The
+    span subtree's per-doc rollup is an 8-byte-keyed agg; the join back to
+    the corpus is doc_id-keyed — text never shuffles. dup_frac is one
+    IEEE division of exact int64s (bit-identical cross-engine)."""
+    docs = read_table(spark, sf_dir, "documents")
+    cov = (
+        dedup_substring_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("dup_tokens")
+        )
+    )
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        docs.select("doc_id", n_tok.alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_frac"),
+        )
+    )

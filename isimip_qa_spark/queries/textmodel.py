@@ -325,3 +325,57 @@ def quality_train_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates — the first training iteration of byte-pair
+# encoding (Sennrich et al. 2016): adjacent character-pair frequencies.
+# The tokenizer-training half of the pipeline (token_count in webtext.py
+# is the inference-side estimate).
+#
+# Scale shape — the classic BPE trick, distributed: pair counting runs on
+# the WORD VOCABULARY, not the corpus. One scan explodes words into a
+# hash agg (map-side combine collapses each task's word stream to its
+# distinct words before the one corpus-sized exchange); the vocab table
+# (|V| rows, ~10^8 at web scale — a table, never driver state) then
+# explodes its ~|word| character pairs weighted by word count into a
+# second small agg keyed on the ≤ |charset|² pair. Corpus bytes are
+# touched once; per-pair work is O(|V|·avg_len), independent of corpus
+# size. Later BPE iterations re-run the same two aggs over the re-segmented
+# vocab — each iteration is this query's plan with a different splitter.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_merge_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest({_TOKENS_SQL}) AS w FROM documents
+    ),
+    v AS (SELECT w, count(*)::BIGINT AS c FROM w GROUP BY w),
+    p AS (
+      SELECT w[i:i+1] AS pair, c
+      FROM v, UNNEST(range(1, len(w))) AS u(i)
+    )
+    SELECT pair[1:1] AS lhs, pair[2:2] AS rhs, sum(c)::BIGINT AS n_pairs
+    FROM p GROUP BY pair
+    """,
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    w = F.col("w")
+    pair_arr = F.when(
+        F.length(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1),
+            lambda i: w.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = vocab.select(F.explode(pair_arr).alias("pair"), "c")
+    return pairs.groupBy("pair").agg(F.sum("c").alias("n_pairs")).select(
+        F.substring("pair", 1, 1).alias("lhs"),
+        F.substring("pair", 2, 1).alias("rhs"),
+        "n_pairs",
+    )

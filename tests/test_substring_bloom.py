@@ -165,3 +165,46 @@ def test_bloom_probe_side_is_exchange_free(spark):
     flagged = d.withColumn("bloom_hit", F.forall(_positions(), bit_set))
     plan = flagged._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_doc_dup_coverage_matches_spans(spark, tmp_path):
+    texts = {
+        0: f"one two three {PASSAGE} four five six",
+        1: f"seven eight {PASSAGE} nine ten eleven twelve",
+        2: "unique words only here nothing repeats at all today",
+        3: "tiny doc",
+    }
+    out = str(tmp_path / "docs3")
+    _write_docs(spark, texts, out)
+    from isimip_qa_spark.queries.substring import doc_dup_coverage
+
+    got = {r.doc_id: r for r in doc_dup_coverage(spark, out).collect()}
+    spans = _spans_bruteforce(texts, K_GRAM)
+    for did, t in texts.items():
+        n = len(t.split(" "))
+        dup = sum(e - s + 1 for d, s, e, _ in spans if d == did)
+        r = got[did]
+        assert (r.n_tokens, r.dup_tokens) == (n, dup)
+        assert r.dup_frac == dup / n
+    assert got[0].dup_tokens == 7 and got[3].dup_tokens == 0
+
+
+def test_bpe_merge_pairs_bruteforce(spark, tmp_path):
+    from collections import Counter
+
+    texts = {0: "ab ab cd", 1: "abc", 2: "a bb"}
+    out = str(tmp_path / "docs4")
+    _write_docs(spark, texts, out)
+    from isimip_qa_spark.queries.textmodel import bpe_merge_pairs
+
+    got = {
+        (r.lhs, r.rhs): r.n_pairs
+        for r in bpe_merge_pairs(spark, out).collect()
+    }
+    vocab = Counter(w for t in texts.values() for w in t.split(" "))
+    want: Counter = Counter()
+    for w, c in vocab.items():
+        for i in range(len(w) - 1):
+            want[(w[i], w[i + 1])] += c
+    assert got == dict(want)
+    assert got[("a", "b")] == 3  # 2x 'ab' + 1x 'abc'
