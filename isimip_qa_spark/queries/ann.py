@@ -547,15 +547,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table the IVF query broadcasts, so the DuckDB twin reproduces the whole
 # algorithm), then flag within-cluster pairs above a SEMANTIC threshold.
 # Scale contract: per-cell work is quadratic in cell size by design, so K
-# scales with n to hold cells at a constant target (the paper runs 50k
-# clusters for LAION); `candidate_pairs` adds the hot-key cap on the cell
-# id as defence in depth (inert at tested scales). Fixture embeddings are
+# scales with n to hold cells at a constant TARGET size (the paper runs
+# 50k clusters for LAION); `candidate_pairs` adds a hot-cell cap as
+# defence in depth, sized at SEM_CELL_CAP = several × the target cell so
+# it only trips on a degenerate quantizer (a cell that swallowed the
+# corpus), never on the design size — with the fixture's fixed K=16 the
+# expected cell is n/16, and the cap stays inert at every tested sf
+# (asserted in tests/test_semantic_dedup.py). Fixture embeddings are
 # near-uniform (max within-cell cos ~= 0.49 at sf0.01) so the oracle row
 # is exact-but-empty; recall is proven by the planted-pair pytest
 # (tests/test_semantic_dedup.py) like the other embedding-dedup queries.
 # ---------------------------------------------------------------------------
 
 SEM_THRESHOLD = 0.8
+SEM_CELL_CAP = 2048  # >> n/K at every tested sf; trips only on degeneracy
 
 
 def semantic_pairs(e: DataFrame, cids, cvecs,
@@ -566,8 +571,8 @@ def semantic_pairs(e: DataFrame, cids, cvecs,
 
     assigned = e.select(
         "vec_id", _ivf_probe_udf(F.col("v"), cids, cvecs, 1).getItem(0).alias("k")
-    )
-    cands = candidate_pairs(assigned, "vec_id").select(
+    ).localCheckpoint(eager=False)  # one kernel pass; three consumers
+    cands = candidate_pairs(assigned, "vec_id", cap=SEM_CELL_CAP).select(
         F.col("vec_id_a").alias("id_a"), F.col("vec_id_b").alias("id_b")
     )
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))

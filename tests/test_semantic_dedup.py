@@ -45,3 +45,42 @@ def test_semantic_pairs_planted(spark):
     # the straddling pair is similar (cos ~= 1) but cluster-blocked:
     # vec 4 -> cell 100, vec 5 -> cell 101
     assert (4, 5) not in got
+
+
+def test_semantic_cell_cap_inert_at_bench_scale(spark):
+    """SEM_CELL_CAP must not bite at any tested sf: every cell's occupancy
+    stays below the cap, so the capped query equals the uncapped oracle
+    semantics (at sf0.1 the old shared BUCKET_CAP=256 silently dropped
+    ALL cells of ~312 vecs — this pins the regression)."""
+    from pyspark.sql import functions as F
+
+    from isimip_qa_spark.queries.ann import (
+        N_CENTROIDS,
+        N_QUERIES,
+        SEM_CELL_CAP,
+        _emb,
+        _ivf_probe_udf,
+    )
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        e = _emb(spark, sf)
+        crows = (
+            e.filter(
+                (F.col("vec_id") >= N_QUERIES)
+                & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+        cells = e.select(
+            _ivf_probe_udf(
+                F.col("v"),
+                [r["vec_id"] for r in crows],
+                [list(r["v"]) for r in crows],
+                1,
+            )
+            .getItem(0)
+            .alias("k")
+        )
+        occ = cells.groupBy("k").count().agg(F.max("count")).first()[0]
+        assert occ < SEM_CELL_CAP, (sf, occ)
