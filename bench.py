@@ -179,10 +179,11 @@ def main() -> None:
         # timed query doesn't absorb ~8s of one-time session cost
         qs[BENCH_QUERIES[0]](spark, SF_DIR).count()
         per_query: dict[str, float] = {}
+        reps_q = int(os.environ.get("BENCH_QUERY_REPS", "3"))
         for name in BENCH_QUERIES:
-            # min of 2: the sandbox's noisy-neighbor spikes only add time
+            # min of reps: the sandbox's noisy-neighbor spikes only add time
             best = None
-            for _ in range(2):
+            for _ in range(reps_q):
                 t0 = time.time()
                 n = qs[name](spark, SF_DIR).count()  # force full execution
                 dt = time.time() - t0

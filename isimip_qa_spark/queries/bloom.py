@@ -104,6 +104,30 @@ def _positions():
     )
 
 
+def build_bitmap(hist_digests: DataFrame) -> list[int]:
+    """History (h1, h2) rows → packed signed-int64 bitmap words. The
+    DISTINCT set-bit aggregate is bounded by M_BITS regardless of history
+    size; only ≤ M_BITS positions ever reach the driver."""
+    set_bits = hist_digests.select(F.explode(_positions()).alias("p")).distinct()
+    words = [0] * (M_BITS // 64)
+    for row in set_bits.collect():
+        words[row.p >> 6] |= 1 << (row.p & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_hit_expr(bitmap_words: list[int]):
+    """Pure-expression probe: true iff all N_HASH positions of the row's
+    (h1, h2) digest are set in the literal bitmap (whole-stage codegen,
+    usable identically in batch and streaming plans)."""
+    bitmap = F.lit(bitmap_words)
+
+    def bit_set(p):
+        word = F.element_at(bitmap, F.shiftright(p, 6) + 1)
+        return F.getbit(word, p.bitwiseAND(F.lit(63))) == 1
+
+    return F.forall(_positions(), bit_set)
+
+
 def bloom_flags(docs: DataFrame) -> DataFrame:
     """DataFrame-level core over (doc_id, text) — planted-duplicate tests
     drive this directly; the registered query feeds it the parquet table."""
@@ -111,18 +135,7 @@ def bloom_flags(docs: DataFrame) -> DataFrame:
     hist = d.filter(F.col("doc_id") % 2 == 0)
     cur = d.filter(F.col("doc_id") % 2 == 1)
 
-    # Build: distinct set-bit positions, bounded by M_BITS by construction.
-    set_bits = hist.select(F.explode(_positions()).alias("p")).distinct()
-    words = [0] * (M_BITS // 64)
-    for row in set_bits.collect():  # ≤ M_BITS/64 int64 words after packing
-        words[row.p >> 6] |= 1 << (row.p & 63)
-    bitmap = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
-
-    def bit_set(p):
-        word = F.element_at(bitmap, F.shiftright(p, 6) + 1)
-        return F.getbit(word, p.bitwiseAND(F.lit(63))) == 1
-
-    flagged = cur.withColumn("bloom_hit", F.forall(_positions(), bit_set))
+    flagged = cur.withColumn("bloom_hit", bloom_hit_expr(build_bitmap(hist)))
 
     # Exact verify only on the bloom-positive slice (the prefilter payoff).
     exact = (
