@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "pii_stats",
     "doc_dup_coverage",
     "bpe_merge_pairs",
+    "reliability_bins",
 ]
 
 

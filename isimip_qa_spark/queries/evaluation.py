@@ -3,8 +3,9 @@
 A production curation team runs these constantly: (a) how well does the
 continuous quality score *rank* documents against the binary keep label
 (ROC-AUC — the fastText-classifier acceptance metric in the north_star),
-and (b) how far do two independent rule sets agree beyond chance (Cohen's
-kappa between the Gopher and C4 gates). The reference's analogue is its
+(b) how far do two gates agree beyond chance (Cohen's kappa), and
+(c) is the score *calibrated* (reliability bins: predicted level vs
+empirical keep rate). The reference's analogue is its
 assessment layer comparing extraction outputs against validity assertions
 (/root/reference/isimip_qa/assessments.py); here the "assertion" is one
 labeller and the "extraction" is another.
@@ -228,4 +229,69 @@ def rule_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ntot * (a + d) - pe_num).cast("double") / (ntot * ntot - pe_num)
         )
         .alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration — the third face of score quality beside ranking (AUC) and
+# decision agreement (kappa): per score bin, predicted level vs empirical
+# keep rate. A curator reads this before trusting a threshold: AUC can be
+# high while the score is systematically over-confident in a band.
+# Same bounded-aggregate discipline: one scan → (lang, bin) hash agg with
+# map-side combine; all rates are single IEEE divisions of exact int64
+# sums (bin midpoint is exact dyadic arithmetic), so the twin hash-matches.
+# ---------------------------------------------------------------------------
+
+REL_BINS = 16
+
+
+_RELIABILITY_SQL = f"""
+    WITH g AS ({_GOPHER_SQL}),
+    q AS (
+      SELECT d.lang,
+             least(CAST(floor(({QUALITY_SQL}) * {REL_BINS}) AS BIGINT),
+                   {REL_BINS - 1}) AS bin,
+             g.keep
+      FROM documents d JOIN g USING (doc_id)
+    )
+    SELECT lang, bin,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+           (bin * 2 + 1)::DOUBLE / {2 * REL_BINS} AS bin_mid,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / count(*)
+             AS empirical_keep_rate
+    FROM q GROUP BY lang, bin
+"""
+
+
+@register("reliability_bins", oracle=_RELIABILITY_SQL)
+def reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, score-bin) calibration: bin midpoint vs empirical
+    Gopher-keep rate. Columns: lang, bin, n_docs, n_keep, bin_mid,
+    empirical_keep_rate."""
+    d = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    bin_col = F.least(
+        F.floor(quality_expr(text) * REL_BINS).cast("long"),
+        F.lit(REL_BINS - 1),
+    )
+    return (
+        d.select("lang", bin_col.alias("bin"), ts.keep_expr(text).alias("keep"))
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+        )
+        .select(
+            "lang",
+            "bin",
+            "n_docs",
+            "n_keep",
+            ((F.col("bin") * 2 + 1).cast("double") / F.lit(2 * REL_BINS)).alias(
+                "bin_mid"
+            ),
+            (F.col("n_keep").cast("double") / F.col("n_docs")).alias(
+                "empirical_keep_rate"
+            ),
+        )
     )
