@@ -403,9 +403,11 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Centroid "training" is deterministic seeding (the K vectors right after
 # the query ids, collected driver-side — a K×DIM broadcast, like any
 # trained-model artifact) so the DuckDB twin reproduces the whole algorithm
-# exactly; a production deployment would swap in k-means|| centroids
-# (pyspark.ml KMeans) without touching the assignment/probe/re-rank
-# plumbing, which is what this query pins down. Assignment ranking is
+# exactly; a production deployment swaps in TRAINED centroids from the
+# in-repo DataFrame-native spherical k-means (operators/kmeans.py — it
+# assigns with this very kernel, so trainer and query can never disagree)
+# without touching the assignment/probe/re-rank plumbing, which is what
+# this query pins down. Assignment ranking is
 # bit-exact across engines: the kernel's cumsum fold is the same IEEE-754
 # op order as the SQL list_reduce fold (cf. _bucket_keys_series).
 # ---------------------------------------------------------------------------
