@@ -79,3 +79,29 @@ def test_empty_cell_keeps_previous_centroid(spark):
     cids, cvecs = train_centroids(e, k=3, n_iters=3)
     assert cvecs[1] == [1.0] + [0.0] * (DIM - 1)
     assert cvecs[2] == [1.0] + [0.0] * (DIM - 1)
+
+
+def test_trained_quantizer_feeds_semantic_dedup(spark):
+    """Composition: centroids from train_centroids drop into
+    semantic_pairs unchanged. With the planted clusters, a near-identical
+    pair inside one true cluster is found; the fixed-seed quantizer from
+    a bad init (first 3 interleaved vectors) may put them anywhere, but
+    the TRAINED cells must co-locate them."""
+    from isimip_qa_spark.queries.ann import semantic_pairs
+
+    e, _ = _planted(spark)
+    # plant a near-duplicate pair inside the axis-0 cluster
+    extra = spark.createDataFrame(
+        [
+            (1000, _vec(0, 0.01, 1)),
+            (1001, _vec(0, 0.02, 1)),
+        ],
+        "vec_id long, v array<double>",
+    )
+    e2 = e.union(extra)
+    cids, cvecs = train_centroids(e2, k=3, n_iters=10)
+    pairs = {
+        (r.id_a, r.id_b): r.sim
+        for r in semantic_pairs(e2, cids, cvecs, 0.95).collect()
+    }
+    assert (1000, 1001) in pairs and pairs[(1000, 1001)] > 0.999
