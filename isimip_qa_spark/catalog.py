@@ -139,6 +139,27 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
     return df.select(*[f.name for f in PAGES_SCHEMA.fields])
 
 
+def read_pages_tolerant(spark: SparkSession, path: str) -> DataFrame:
+    """Crawl-scale ingest read: skip corrupt/truncated part files instead
+    of failing the job. At 10^12 documents a handful of bad files per
+    crawl drop is ROUTINE (mid-upload truncation, bitrot, a writer killed
+    between block flushes); one corrupt file must cost its own rows, not
+    the run. The reference's analogue is its tolerant time decode
+    (models.py try/except per value — S2/X4): degrade the affected datum,
+    never the dataset. Spark-native: per-reader `ignoreCorruptFiles`
+    option (no session-level conf mutation), pushed into the scan so the
+    skip happens at split-open time. The tolerant read is for INGEST
+    paths; artifact reads (plans/checkpoint.py) stay strict — a corrupt
+    artifact means the producing chunk must rerun, not be silently
+    shrunk."""
+    df = (
+        spark.read.schema(PAGES_SCHEMA)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(path)
+    )
+    return df.select(*[f.name for f in PAGES_SCHEMA.fields])
+
+
 def write_table(df: DataFrame, path: str, mode: str = "append", partition_by=None):
     """Append-mode parquet sink (reference analogue: CSV append,
     /root/reference/isimip_qa/mixins/extractions.py:42-62). Iceberg swap:
