@@ -180,7 +180,7 @@ def main() -> None:
         # timed query doesn't absorb ~8s of one-time session cost
         qs[BENCH_QUERIES[0]](spark, SF_DIR).count()
         per_query: dict[str, float] = {}
-        reps_q = int(os.environ.get("BENCH_QUERY_REPS", "3"))
+        reps_q = max(1, int(os.environ.get("BENCH_QUERY_REPS", "3")))
         for name in BENCH_QUERIES:
             # min of reps: the sandbox's noisy-neighbor spikes only add time
             best = None

@@ -24,12 +24,17 @@ ZBITS = 16  # per-dimension bits: 2 dims x 16 -> 32-bit key in an int64
 
 def zorder_key_expr(x: Column, y: Column, bits: int = ZBITS) -> Column:
     """Interleave the low `bits` of two non-negative int columns:
-    bit b of x lands at 2b, bit b of y at 2b+1. Values are clamped into
-    [0, 2^bits) by masking (callers bucket/scale dims first)."""
+    bit b of x lands at 2b, bit b of y at 2b+1. Values >= 2^bits SATURATE
+    to 2^bits - 1 (a long-document tail must sort at the top of the key
+    range, not alias onto the smallest keys and smear every file's
+    min/max box across the full dimension)."""
+    cap = F.lit((1 << bits) - 1).cast("long")
+    xc = F.least(x.cast("long"), cap)
+    yc = F.least(y.cast("long"), cap)
     terms = []
     for b in range(bits):
-        xb = F.shiftright(x.cast("long"), b).bitwiseAND(F.lit(1))
-        yb = F.shiftright(y.cast("long"), b).bitwiseAND(F.lit(1))
+        xb = F.shiftright(xc, b).bitwiseAND(F.lit(1))
+        yb = F.shiftright(yc, b).bitwiseAND(F.lit(1))
         terms.append(F.shiftleft(xb, 2 * b))
         terms.append(F.shiftleft(yb, 2 * b + 1))
     out = terms[0]
@@ -39,13 +44,17 @@ def zorder_key_expr(x: Column, y: Column, bits: int = ZBITS) -> Column:
 
 
 def zorder_key_sql(x: str, y: str, bits: int = ZBITS) -> str:
-    """DuckDB twin: identical shift/mask/or tree. Every term is fully
-    parenthesized — DuckDB's bitwise <<, &, | share one precedence level
-    left-associatively, so `a | b << c` would parse as `(a | b) << c`."""
+    """DuckDB twin: identical saturate + shift/mask/or tree. Every term is
+    fully parenthesized — DuckDB's bitwise <<, &, | share one precedence
+    level left-associatively, so `a | b << c` would parse as
+    `(a | b) << c`."""
+    cap = (1 << bits) - 1
+    xs = f"least(({x})::BIGINT, {cap})"
+    ys = f"least(({y})::BIGINT, {cap})"
     terms = []
     for b in range(bits):
-        terms.append(f"(((({x})::BIGINT >> {b}) & 1) << {2 * b})")
-        terms.append(f"(((({y})::BIGINT >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"((({xs} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({ys} >> {b}) & 1) << {2 * b + 1})")
     return "(" + " | ".join(terms) + ")"
 
 

@@ -11,9 +11,14 @@ Algorithm: Lloyd iterations under the cosine objective (spherical
 k-means). Assignment reuses the exact production kernel the queries
 probe with (`_ivf_probe_series`, ties → lower centroid id), so a trained
 quantizer and the query-side assignment can never disagree. The update
-step is the per-cell mean vector — for the cosine objective the mean
-maximises the summed cosine to the (normalised) centroid, giving the
-textbook monotone non-decreasing objective (asserted in tests).
+step is the per-cell mean of the NORMALISED members — Σ v/|v| is the
+direction maximising the cell's summed cosine, which gives the textbook
+monotone non-decreasing objective for arbitrary-norm inputs (a mean of
+raw vectors would weight each member by its norm and can decrease the
+cosine objective when norms are heterogeneous; asserted in tests with a
+deliberately mixed-norm corpus). Zero-norm vectors contribute nothing
+to the update (their direction is undefined) but still get assigned via
+the kernel's deterministic all-nan tie-break.
 
 Scale shape per iteration (10^12 rows):
 - Assignment: ONE corpus pass, vectorized Arrow kernel, centroids
@@ -76,12 +81,23 @@ def train_centroids(
         sig = (sig_row["n"], sig_row["h"])
         # update BEFORE the convergence break so centroids always match
         # the latest assignment
+        norm = F.sqrt(
+            F.aggregate(
+                F.col("v"), F.lit(0.0), lambda a, x: a + x * x
+            )
+        )
         stats = (
-            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            assigned.filter(norm > 0)
+            .select(
+                "cell",
+                F.posexplode(
+                    F.transform(F.col("v"), lambda x: x / norm)
+                ).alias("dim", "x"),
+            )
             .groupBy("cell", "dim")
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
-        )  # <= k*dim rows
+        )  # <= k*dim rows; members enter the update direction-only
         by_cell: dict[int, dict[int, float]] = {}
         for r in stats:
             by_cell.setdefault(r["cell"], {})[r["dim"]] = r["s"] / r["n"]

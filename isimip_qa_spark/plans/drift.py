@@ -38,22 +38,26 @@ def metrics_drift(
     metrics_dir_b: str,
     keep_rate_tol: float = 0.01,
     ppl_tol: float = 1.0,
+    scrub_rate_tol: float = 0.01,
 ) -> DataFrame:
     """Per-chunk drift between two runs' metrics dirs (run A = baseline,
     run B = candidate). Columns: chunk, n_docs_a/b, keep_rate_a/b,
     keep_rate_delta, avg_ppl_a/b, avg_ppl_delta, scrub_rate_a/b,
-    flagged (any delta beyond tolerance). Full outer join: a chunk
-    present in only one run is itself drift (null side, flagged)."""
+    scrub_rate_delta, flagged (any tracked delta beyond its tolerance).
+    Full outer join: a chunk present in only one run is itself drift
+    (null side, flagged)."""
     a = _per_chunk(spark.read.parquet(metrics_dir_a), "a")
     b = _per_chunk(spark.read.parquet(metrics_dir_b), "b")
     j = a.join(b, "chunk", "full_outer")
     keep_delta = F.col("keep_rate_b") - F.col("keep_rate_a")
     ppl_delta = F.col("avg_ppl_b") - F.col("avg_ppl_a")
+    scrub_delta = F.col("scrub_rate_b") - F.col("scrub_rate_a")
     flagged = (
         F.col("keep_rate_a").isNull()
         | F.col("keep_rate_b").isNull()
         | (F.abs(keep_delta) > keep_rate_tol)
         | (F.abs(ppl_delta) > ppl_tol)
+        | (F.abs(scrub_delta) > scrub_rate_tol)
     )
     return j.select(
         "chunk",
@@ -63,5 +67,6 @@ def metrics_drift(
         "avg_ppl_a", "avg_ppl_b",
         ppl_delta.alias("avg_ppl_delta"),
         "scrub_rate_a", "scrub_rate_b",
+        scrub_delta.alias("scrub_rate_delta"),
         flagged.alias("flagged"),
     ).orderBy("chunk")

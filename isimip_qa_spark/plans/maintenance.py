@@ -91,6 +91,11 @@ def compact_table(
         conf.set("spark.sql.files.openCostInBytes", str(max(1, target_bytes // 1024)))
         df = spark.read.parquet(*[f for f, _ in small])
         df.write.parquet(staging, mode="overwrite")
+    except BaseException:
+        # a failed rewrite must not leak a half-written staging dir into
+        # the very table compaction was run to slim down
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     finally:
         for k, v in saved.items():
             conf.set(k, v)

@@ -123,10 +123,13 @@ def _make_writer(pq, path: str, schema):
     cores, output-byte bandwidth does not, so the codec point shifts the
     compute/bandwidth mix."""
     # default zstd level 3 (pyarrow's own default is 1): measured on the
-    # 2->8 scaling study as faster at BOTH core counts (133.4s/39.9s vs
-    # 151.3s/42.9s at 4M docs) AND better-scaling (0.836 vs borderline):
-    # the extra compression CPU parallelizes with cores while the saved
-    # output bytes relieve the shared memory/disk bandwidth that does not
+    # round-3 codec sweep as strictly faster at BOTH core counts
+    # (133.4s/39.9s vs 151.3s/42.9s at 4M docs) — the extra compression
+    # CPU parallelizes with cores while the saved output bytes relieve
+    # shared memory/disk bandwidth. (Its 2->8 efficiency RATIO is not
+    # better — 0.836 vs zstd1's same-campaign 0.881, since it helps the
+    # low-core level more; the default optimizes wall at every level,
+    # not the ratio. BASELINE.md round-3 section has the full table.)
     kw = {"compression": "zstd", "compression_level": 3}
     lvl = os.environ.get("SPARK_GRAFT_ZSTD_LEVEL")
     if lvl:

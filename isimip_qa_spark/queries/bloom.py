@@ -89,9 +89,17 @@ def _bloom_sql() -> str:
     """
 
 
-def _digests(docs: DataFrame) -> DataFrame:
+def digest_exprs() -> tuple:
+    """(h1, h2) column expressions over `text` — THE digest definition;
+    batch query and streaming prefilter must share it bit-for-bit or the
+    stream probes a bitmap built from different digests."""
     h1 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
     h2 = F.conv(F.substring(F.md5("text"), 17, 15), 16, 10).cast("long")
+    return h1, h2
+
+
+def _digests(docs: DataFrame) -> DataFrame:
+    h1, h2 = digest_exprs()
     return docs.select("doc_id", h1.alias("h1"), h2.alias("h2"))
 
 

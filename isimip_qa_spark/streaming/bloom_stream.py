@@ -25,13 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.bloom import bloom_hit_expr
+from ..queries.bloom import bloom_hit_expr, digest_exprs
 from .qa_stream import read_pages_stream
 
 
 def _digest_cols(df: DataFrame) -> DataFrame:
-    h1 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(F.md5("text"), 17, 15), 16, 10).cast("long")
+    h1, h2 = digest_exprs()  # the batch query's digest, bit-for-bit
     return df.withColumn("h1", h1).withColumn("h2", h2)
 
 
@@ -51,12 +50,18 @@ def bloom_filter_stream(
     )
 
     def write_batch(df: DataFrame, epoch: int) -> None:
+        # NULL text => NULL digest => NULL bloom_hit: such rows cannot be
+        # membership-decided, and both ~hit and hit filters would drop
+        # them (a silent loss). Route them to unseen/ — ingest-worthy by
+        # default, the same never-lose-rows discipline as the tolerant
+        # reads.
+        hit = F.coalesce(F.col("bloom_hit"), F.lit(False))
         df = df.persist()
         try:
-            df.filter(~F.col("bloom_hit")).drop(
+            df.filter(~hit).drop(
                 "bloom_hit", "h1", "h2"
             ).write.mode("append").parquet(f"{out_dir}/unseen")
-            df.filter(F.col("bloom_hit")).select(
+            df.filter(hit).select(
                 "url", "warc_ts", "lang"
             ).write.mode("append").parquet(f"{out_dir}/seen")
         finally:

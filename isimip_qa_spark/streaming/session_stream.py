@@ -10,10 +10,12 @@ two of them, and finalizes a session only when the watermark passes its
 end (event-time gap semantics, not processing-time).
 
 Semantics parity with the batch twin: session_window merges events with
-gap < `gap`; the batch lag-formulation merges gap <= 1800s. The two
-differ only for gaps of EXACTLY the threshold — measure-zero with
-microsecond timestamps — asserted equal on the fixture corpus in
-tests/test_session_stream.py.
+microsecond-precise gap < `gap`; the batch lag-formulation compares
+SECOND-TRUNCATED unix timestamps with <= 1800, so the two can disagree
+for true gaps in [1800s, 1801s) (batch merges, stream splits). The
+fixture corpus has no gaps in that band, so exact equality is asserted
+in tests/test_session_stream.py; a deployment wanting bit-parity uses
+1801s as the stream gap or un-truncated arithmetic in the batch query.
 
 State/scale contract: state per user is O(open sessions), bounded by the
 watermark horizon — closed sessions are emitted (append mode) and
@@ -55,6 +57,7 @@ def sessionize_stream(
         .select(
             "user_id",
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("sess_end"),
             "n_events",
         )
     )

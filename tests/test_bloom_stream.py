@@ -46,6 +46,12 @@ def test_bloom_filter_stream_split(spark, tmp_path):
     )
     words = build_bitmap(digest_frame(hist_sdf))
 
+    # one NULL-text row: undecidable membership must route to unseen/,
+    # never silently vanish from both sinks
+    arriving = pd.concat(
+        [arriving, arriving.iloc[[0]].assign(url="null://x", text=None)],
+        ignore_index=True,
+    )
     src = str(tmp_path / "src")
     spark.createDataFrame(arriving).coalesce(2).write.parquet(src)
     out = str(tmp_path / "out")
@@ -72,9 +78,11 @@ def test_bloom_filter_stream_split(spark, tmp_path):
     # every planted re-crawl must be in seen/ (no false negatives)
     planted_urls = set(arriving["url"].iloc[:20])
     assert planted_urls <= set(seen["url"])
+    # the undecidable NULL-text row landed in unseen/, not nowhere
+    assert "null://x" in set(unseen["url"])
     # and the split equals the Python model exactly
     for url in unseen["url"]:
-        assert not _py_hit(bits, by_url[url])
+        assert by_url[url] is None or not _py_hit(bits, by_url[url])
     for url in seen["url"]:
         assert _py_hit(bits, by_url[url])
     # audit rows carry no text

@@ -30,6 +30,7 @@ def test_drift_report(spark, pages_sdf, tmp_path):
     assert len(same) == 4
     assert (same["keep_rate_delta"] == 0.0).all()
     assert (same["avg_ppl_delta"] == 0.0).all()
+    assert (same["scrub_rate_delta"] == 0.0).all()
     assert (~same["flagged"]).all()
 
     # stricter min_words can only DROP the keep rate; it must drop
@@ -37,8 +38,10 @@ def test_drift_report(spark, pages_sdf, tmp_path):
     drift = metrics_drift(spark, m_a, m_c).toPandas()
     assert (drift["keep_rate_delta"] <= 0).all()
     assert (drift["keep_rate_delta"] < 0).any()
-    want_flag = (drift["keep_rate_delta"].abs() > 0.01) | (
-        drift["avg_ppl_delta"].abs() > 1.0
+    want_flag = (
+        (drift["keep_rate_delta"].abs() > 0.01)
+        | (drift["avg_ppl_delta"].abs() > 1.0)
+        | (drift["scrub_rate_delta"].abs() > 0.01)
     )
     assert (drift["flagged"] == want_flag).all()
     assert drift["flagged"].any()

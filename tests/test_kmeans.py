@@ -21,15 +21,18 @@ def _vec(axis: int, tilt: float, tilt_axis: int) -> list[float]:
 
 def _planted(spark, per_cluster: int = 20):
     """Three tight direction-clusters around orthogonal axes 0/2/4, with
-    deterministic small tilts; vec_ids interleaved so the seeded init
-    starts from a BAD configuration (first 3 vectors are not one per
-    cluster)."""
+    deterministic small tilts and HETEROGENEOUS norms (0.5x-8x — the
+    spherical update must be norm-blind); vec_ids interleaved so the
+    seeded init starts from a BAD configuration (first 3 vectors are not
+    one per cluster)."""
     rows = []
     vid = 0
     for j in range(per_cluster):
         for ci, axis in enumerate((0, 2, 4)):
             tilt = 0.05 * ((j % 5) - 2)  # in [-0.1, 0.1] rad
-            rows.append((vid, _vec(axis, tilt, axis + 1), ci))
+            scale = (0.5, 1.0, 2.0, 4.0, 8.0)[(j + ci) % 5]
+            v = [x * scale for x in _vec(axis, tilt, axis + 1)]
+            rows.append((vid, v, ci))
             vid += 1
     df = spark.createDataFrame(
         [(i, v) for i, v, _ in rows], "vec_id long, v array<double>"

@@ -124,6 +124,20 @@ def test_zorder_layout_prunes_both_dims(spark, tmp_path):
     assert _files_intersecting(bz, {"x": (0, 31)}) <= 8
 
 
+def test_zorder_key_saturates_not_aliases(spark):
+    """Values past the per-dim width must land at the TOP of the key
+    range (saturate), never wrap onto small keys — aliasing would smear
+    file min/max boxes across the whole dimension."""
+    from pyspark.sql import Row
+
+    rows = spark.createDataFrame(
+        [Row(x=65535, y=0), Row(x=65536, y=0), Row(x=10**9, y=0), Row(x=0, y=0)]
+    ).select(zorder_key_expr(F.col("x"), F.col("y")).alias("z")).collect()
+    top, over, huge, zero = (r.z for r in rows)
+    assert over == top and huge == top  # saturation, not wraparound
+    assert zero == 0 and top > 0
+
+
 def test_zorder_key_locality(spark):
     """Morton property: the key of (x, y) and (x+1, y) differ only in
     x-bits — neighbours in either dim stay within a bounded key distance

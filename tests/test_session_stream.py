@@ -42,16 +42,18 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     q2 = sessionize_stream(spark, src, out)
     q2.awaitTermination(180)
 
-    got = {
-        (r.user_id, r.sess_start, r.n_events)
+    rows = [
+        r
         for r in spark.read.parquet(f"{out}/sessions").collect()
         if r.user_id != SENTINEL_USER
-    }
+    ]
+    got = {(r.user_id, r.sess_start, r.sess_end, r.n_events) for r in rows}
     assert len(got) > n_first  # the second trigger flushed held-back state
+    assert all(r.sess_end > r.sess_start for r in rows)
 
     # batch twin 1: the same session_window in a batch aggregation
     batch_sw = {
-        (r.user_id, r.sess_start, r.n_events)
+        (r.user_id, r.sess_start, r.sess_end, r.n_events)
         for r in (
             ev.groupBy("user_id", F.session_window("ts", GAP).alias("w"))
             .agg(F.count(F.lit(1)).alias("n_events"))
@@ -60,6 +62,9 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
                 F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
                     "sess_start"
                 ),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias(
+                    "sess_end"
+                ),
                 "n_events",
             )
             .collect()
@@ -67,9 +72,9 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert got == batch_sw
 
-    # batch twin 2: the lag-based gaps-and-islands query
+    # batch twin 2: the lag-based gaps-and-islands query (no end column)
     batch_lag = {
         (r.user_id, r.sess_start, r.n_events)
         for r in sessionize(spark, SF).collect()
     }
-    assert got == batch_lag
+    assert {(u, s, n) for u, s, _, n in got} == batch_lag

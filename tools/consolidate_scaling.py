@@ -59,9 +59,11 @@ def main() -> None:
         },
         "sink_codec_sweep_2_8": {
             "what": (
-                "2->8 efficiency vs metrics-sink parquet codec; zstd level 3 "
-                "is faster at BOTH core counts AND better-scaling, so it is "
-                "now the committed default (plans/sink.py)"
+                "2->8 walls vs metrics-sink parquet codec; zstd level 3 is "
+                "strictly FASTER at both core counts (the reason it is the "
+                "committed default, plans/sink.py); its efficiency RATIO is "
+                "lower than zstd1's same-campaign 0.881 because it helps "
+                "the 2-core level more"
             ),
             "zstd_level_1_default_before": baseline["n_to_4n_pairs"][
                 "local[2] -> local[8]"
@@ -76,11 +78,15 @@ def main() -> None:
         },
         "repeatability_2_8": {
             "note": (
-                "two clean same-config runs of the 2->8 pair (zstd3 sweep "
-                "run and the confirmation matrix) bracket the VM's "
-                "repeat variance; the pair straddles the 0.8 target"
+                "clean round-3 runs of the 2->8 pair (zstd1 baseline "
+                "matrix; zstd3 sweep run; zstd3 confirmation matrix — the "
+                "last two the SAME configuration) span 0.795-0.881: the "
+                "VM's repeat variance brackets the 0.8 target"
             ),
             "runs": [
+                baseline["n_to_4n_pairs"]["local[2] -> local[8]"][
+                    "scaling_efficiency"
+                ],
                 zstd3["n_to_4n_pairs"]["local[2] -> local[8]"][
                     "scaling_efficiency"
                 ],
