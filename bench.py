@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "doc_dup_coverage",
     "bpe_merge_pairs",
     "reliability_bins",
+    "bm25_topk",
 ]
 
 

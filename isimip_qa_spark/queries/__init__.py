@@ -50,6 +50,7 @@ def load_all() -> None:
         mixing,
         packing,
         reference_ops,
+        retrieval,
         substring,
         textmodel,
         training_prep,
