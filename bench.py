@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "bpe_merge_pairs",
     "reliability_bins",
     "bm25_topk",
+    "dedup_containment",
 ]
 
 

@@ -619,3 +619,92 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("reason").alias("reason"))  # 'history' > 'batch'
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle CONTAINMENT (Broder's asymmetric resemblance): |A∩B| / min sizes.
+# Jaccard's structural blind spot is partial duplication — a short page
+# quoted wholesale inside a long one has |A∩B| = |A| but tiny Jaccard
+# (|A|/|B| can be arbitrarily small), so the symmetric queries above never
+# flag it; containment = 1.0 there by construction. Same scalable path as
+# dedup_ngram_jaccard (same DF cap, same 8-byte-key self-join — the plan
+# differs only in the final arithmetic), both metrics emitted so a
+# curator can split "near-identical" (both high) from "quotes/boilerplate
+# inclusion" (containment high, jaccard low; planted and asserted in
+# tests/test_containment.py).
+# ---------------------------------------------------------------------------
+
+CONTAIN_THRESHOLD = 0.5
+
+
+def _containment_capped_sql(threshold: float, cap: int) -> str:
+    sh = shingles_sql("string_split(text, ' ')")
+    return f"""
+    WITH {_REPS_CTE},
+    d AS (SELECT doc_id, {sh} AS sh FROM reps),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    keep_s AS (SELECT s FROM (SELECT s, count(*) AS c FROM e GROUP BY s)
+               WHERE c <= {cap}),
+    kept AS (SELECT e.doc_id, e.s FROM e JOIN keep_s USING (s)),
+    sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    p AS (SELECT doc_a, doc_b,
+                 inter::DOUBLE / least(sa.n, sb.n) AS containment,
+                 inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+          FROM i JOIN sz sa ON sa.doc_id = i.doc_a
+                 JOIN sz sb ON sb.doc_id = i.doc_b)
+    SELECT doc_a, doc_b,
+           round(containment, 6) AS containment,
+           round(jaccard, 6) AS jaccard
+    FROM p WHERE containment >= {threshold}
+    """
+
+
+def containment_pairs(reps: DataFrame, threshold: float = CONTAIN_THRESHOLD,
+                      cap: int = DF_CAP) -> DataFrame:
+    """DataFrame-level core over (doc_id, text) representatives."""
+    shingled = _shingled_of(reps)
+    keyed = shingled.select(
+        "doc_id",
+        F.explode(F.transform(F.col("sh"), lambda s: F.xxhash64(s))).alias("k"),
+    )
+    dfreq = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
+    hot = dfreq.filter(F.col("df") > cap).select("k")
+    kept = keyed.join(F.broadcast(hot), "k", "left_anti")
+    kept = kept.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    inter = (
+        kept.alias("x")
+        .join(kept.alias("y"), F.col("x.k") == F.col("y.k"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n").alias("n_a"),
+            F.col("y.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.col("inter").cast("double") / F.least("n_a", "n_b").cast("double")
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.filter(cont >= threshold)
+        .select(
+            "doc_a", "doc_b",
+            F.round(cont, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_containment",
+    oracle=_containment_capped_sql(CONTAIN_THRESHOLD, DF_CAP),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(rep_documents(spark, sf_dir))
