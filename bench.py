@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "reliability_bins",
     "bm25_topk",
     "dedup_containment",
+    "shard_manifest",
 ]
 
 

@@ -298,3 +298,54 @@ def host_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("doc_id", "source", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= HOST_QUOTA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard manifest — the integrity/reproducibility record shipped WITH the
+# training shards: per shard, the doc count, token volume, and an
+# order-independent content checksum (bit_xor of the per-doc content
+# fingerprints — exact int64 in both engines, so the manifest a consumer
+# recomputes after transfer must match bit-for-bit). The reference's
+# analogue is its artifact-store config-hash guard
+# (isimip_qa/mixins/extractions.py skip/fetch decisions); here the guard
+# covers the DATA, not just the config. One scan, one N_SHARDS-key hash
+# agg with map-side combine; bit_xor cannot overflow (the reason it is
+# the checksum aggregate — a sum of int64 fingerprints would, loudly,
+# under ANSI mode).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shard_manifest",
+    oracle=f"""
+    WITH s AS (
+      SELECT (({rolling_fingerprint_sql(_TOKENS_SQL)} % {N_SHARDS})
+              + {N_SHARDS}) % {N_SHARDS} AS shard_id,
+             {rolling_fingerprint_sql(_TOKENS_SQL)} AS fp,
+             len({_TOKENS_SQL})::BIGINT AS n_tokens
+      FROM documents
+    )
+    SELECT shard_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           bit_xor(fp)::BIGINT AS checksum
+    FROM s GROUP BY shard_id
+    """,
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    fp = rolling_fingerprint_expr(ts.tokens_expr(F.col("text")))
+    shard = ((fp % N_SHARDS) + N_SHARDS) % N_SHARDS
+    return (
+        d.select(
+            shard.alias("shard_id"),
+            fp.alias("fp"),
+            ts.n_words_expr(F.col("text")).alias("n_tokens"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.expr("bit_xor(fp)").alias("checksum"),
+        )
+    )
