@@ -51,6 +51,7 @@ def load_all() -> None:
         packing,
         reference_ops,
         retrieval,
+        selection,
         substring,
         textmodel,
         training_prep,

@@ -86,3 +86,99 @@ def test_drop_attribution_funnel_consistency(spark):
 
     n_keep = gopher_rules(spark, SF).filter("keep").count()
     assert kept["n_attributed"] == n_keep
+
+
+# ---------------------------------------------------------------------------
+# queries/selection.py: keep-best-in-cluster, strided chunking, diversity.
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_picks_cluster_quality_argmax(spark):
+    from isimip_qa_spark.queries.dedup import dedup_clusters
+    from isimip_qa_spark.queries.selection import dedup_keep_best
+    from isimip_qa_spark.queries.webtext import quality_score
+
+    best = {r["cluster_id"]: r for r in dedup_keep_best(spark, SF).collect()}
+    members = {}
+    for r in dedup_clusters(spark, SF).collect():
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    quality = {
+        r["doc_id"]: r["quality"] for r in quality_score(spark, SF).collect()
+    }
+    # one winner per cluster, and it is the (quality DESC, doc_id ASC) argmax
+    assert set(best) == set(members)
+    for cid, docs in members.items():
+        want = min(docs, key=lambda d: (-quality[d], d))
+        assert best[cid]["doc_id"] == want
+        assert best[cid]["quality"] == quality[want]
+
+
+def test_keep_best_is_aggregation_not_window(spark):
+    """The argmax must be a partial-aggregable hash agg (no per-cluster
+    window funnel) — the 100-TB boilerplate-cluster guard."""
+    from isimip_qa_spark.queries.selection import dedup_keep_best
+
+    plan = dedup_keep_best(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_chunking_reconstructs_every_document(spark):
+    from isimip_qa_spark.queries.selection import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_long_docs,
+    )
+    from isimip_qa_spark.catalog import read_table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in read_table(spark, SF, "documents").collect()
+    }
+    chunks = {}
+    for r in chunk_long_docs(spark, SF).collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    assert set(chunks) == set(texts)
+    for doc_id, rows in chunks.items():
+        toks = texts[doc_id].split(" ")
+        rows.sort(key=lambda r: r["chunk_idx"])
+        for r in rows:
+            want = toks[r["start_tok"] : r["start_tok"] + CHUNK_TOKENS]
+            assert r["chunk_text"].split(" ") == want
+            assert r["n_tok"] == len(want)
+        # strided starts tile the doc: chunk i starts at i*STRIDE, last < n
+        starts = [r["start_tok"] for r in rows]
+        assert starts == list(range(0, len(toks), CHUNK_STRIDE))
+
+
+def test_chunking_has_no_shuffle(spark):
+    from isimip_qa_spark.queries.selection import chunk_long_docs
+
+    df = chunk_long_docs(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one Exchange allowed only for the final orderBy's range partitioning;
+    # the operator itself (split → explode → slice) is a narrow map
+    assert plan.count("Exchange") <= 1
+
+
+def test_domain_diversity_analytic_bounds(spark):
+    import math
+
+    from isimip_qa_spark.catalog import read_table
+    from isimip_qa_spark.queries.selection import domain_diversity
+
+    row = domain_diversity(spark, SF).collect()[0]
+    docs = read_table(spark, SF, "documents").collect()
+    per = {}
+    for r in docs:
+        per[r["source"]] = per.get(r["source"], 0) + len(r["text"].split(" "))
+    tot = sum(per.values())
+    shares = [v / tot for v in per.values()]
+    ent = -sum(p * math.log2(p) for p in shares)
+    assert row["n_sources"] == len(per)
+    assert row["total_tokens"] == tot
+    assert abs(row["entropy_bits"] - round(ent, 6)) < 1e-9
+    assert abs(row["hhi"] - round(sum(p * p for p in shares), 6)) < 1e-9
+    assert abs(row["top_share"] - round(max(shares), 6)) < 1e-9
+    # normalized entropy in (0, 1]; equals 1 only for a uniform corpus
+    assert 0.0 < row["norm_entropy"] <= 1.0
