@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "bm25_topk",
     "dedup_containment",
     "shard_manifest",
+    "dedup_keep_best",
+    "chunk_long_docs",
+    "domain_diversity",
 ]
 
 
