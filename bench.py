@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "chunk_long_docs",
     "domain_diversity",
+    "rendezvous_shards",
+    "mirror_hosts",
+    "split_leakage",
 ]
 
 

@@ -24,16 +24,24 @@ LSH_ROWS = 4
 SIMHASH_BITS = 16
 
 
-def minhash_coeffs() -> list[tuple[int, int]]:
-    """Fixed (a, b) pairs from a seeded LCG (deterministic, no RNG state)."""
-    coeffs, x = [], 88172645463325252
-    for _ in range(N_MINHASH):
+def universal_coeffs(n: int, seed: int) -> list[tuple[int, int]]:
+    """Fixed (a, b) pairs for the universal-hash family h(x) = (a*x + b)
+    mod MERSENNE31, drawn from a seeded LCG (deterministic, no RNG state).
+    Distinct consumers use distinct seeds so their hash families are
+    independent (minhash vs rendezvous sharding)."""
+    coeffs, x = [], seed
+    for _ in range(n):
         x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
         a = (x % (MERSENNE31 - 1)) + 1
         x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
         b = x % MERSENNE31
         coeffs.append((a, b))
     return coeffs
+
+
+def minhash_coeffs() -> list[tuple[int, int]]:
+    """MinHash's fixed coefficient set (seed unchanged since round 1)."""
+    return universal_coeffs(N_MINHASH, 88172645463325252)
 
 
 MINHASH_COEFFS = minhash_coeffs()

@@ -311,3 +311,90 @@ def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", normalize_text_expr(fixture).alias("norm_text")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Mirror-host detection: which source pairs share identical paragraphs.
+# ---------------------------------------------------------------------------
+
+MIRROR_CAP = 16  # a segment on > CAP distinct sources is boilerplate, not a
+# mirror signal: it is dropped BEFORE pair generation (the same hot-key cap
+# discipline as the shingle DF cap, queries/dedup.py), bounding per-segment
+# pair fan-out at CAP^2/2 instead of n_hosts^2. The oracle applies the
+# identical cut, so capped recall is part of the tested contract.
+
+_MIRROR_SQL = f"""
+    WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+    segs AS (
+      SELECT DISTINCT source,
+             array_to_string(toks[(i*{SEG_W}+1):(i*{SEG_W}+{SEG_W})], ' ') AS seg
+      FROM t, unnest(range(0, greatest(cast(ceil(len(toks) / {SEG_W}.0) AS BIGINT), 1)))
+           AS u(i)
+    ),
+    g AS (SELECT source, seg FROM segs WHERE length(seg) > 0),
+    k AS (SELECT seg FROM g GROUP BY seg
+          HAVING count(*) BETWEEN 2 AND {MIRROR_CAP})
+    SELECT a.source AS src_a, b.source AS src_b,
+           count(*)::BIGINT AS shared_segs
+    FROM g a JOIN k USING (seg)
+    JOIN g b ON a.seg = b.seg AND a.source < b.source
+    GROUP BY src_a, src_b
+    ORDER BY shared_segs DESC, src_a, src_b
+"""
+
+
+@register("mirror_hosts", _MIRROR_SQL)
+def mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_a, src_b, shared_segs): for every pair of sources, how many
+    distinct paragraph segments both serve verbatim — the mirror-site /
+    content-syndication signal a crawl-curation pass uses to collapse host
+    families before per-host quotas (`host_quota_sample`) and reputation
+    (`host_reputation`) are computed, so a 50-mirror family doesn't get 50
+    quotas.
+
+    Scale shape (100 TB): text never shuffles — segments become 8-byte
+    xxhash64 keys at the scan (the DuckDB twin joins segment STRINGS, so a
+    64-bit collision at test scale surfaces as a hash mismatch rather than
+    hiding, same contract as dedup_paragraphs). Stages: (1) distinct
+    (sh, source) — one exchange of 8-byte + host-string rows; (2) per-sh
+    source count, hash agg; (3) the 2..CAP band filter, then pair
+    generation via a self-join on sh with fan-out bounded by CAP^2/2 per
+    segment; (4) hash agg on (src_a, src_b) — partial-aggregable, keys are
+    host pairs (<< rows). The CAP is what keeps a 10^6-host boilerplate
+    segment from generating 10^12 pairs.
+
+    Reference anchor: isimip_qa/assessments.py's cross-dataset comparison
+    face, recast as cross-host duplicate attribution."""
+    return mirror_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def mirror_pairs(d: DataFrame, cap: int = MIRROR_CAP) -> DataFrame:
+    """Core of mirror_hosts over any (source, text) frame (testable with
+    planted fixtures; `cap` parameterised so tests can make it bite)."""
+    g = (
+        d.select(
+            "source",
+            F.explode(segments_expr(F.col("text"))).alias("seg"),
+        )
+        .filter(F.length("seg") > 0)
+        .select("source", F.xxhash64("seg").alias("sh"))
+        .distinct()
+    )
+    keep = (
+        g.groupBy("sh")
+        .agg(F.count("*").alias("n_src"))
+        .filter((F.col("n_src") >= 2) & (F.col("n_src") <= cap))
+        .select("sh")
+    )
+    gk = g.join(keep, "sh")
+    a, b = gk.alias("a"), gk.alias("b")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("shared_segs"))
+        .orderBy(F.desc("shared_segs"), "src_a", "src_b")
+    )

@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 
 from ..catalog import read_table
 from ..functions import textstats as ts
-from ..functions.fingerprint import shingles_expr
+from ..functions.fingerprint import (
+    rolling_fingerprint_expr,
+    rolling_fingerprint_sql,
+    shingles_expr,
+)
 from . import register
 
 K = 13  # n-gram width (GPT-3's decontamination width)
@@ -90,5 +94,99 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr.join(F.broadcast(ev), "ng")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit: n-gram contamination across the REAL train/holdout
+# boundary produced by stratified_split (queries/mixing.py).
+# ---------------------------------------------------------------------------
+
+SPLIT_BUCKETS = 100  # keep in sync with mixing.stratified_split
+TRAIN_BUCKETS = 96  # bucket < 96 → train; 96-97 valid; 98-99 test
+
+_LEAK_SQL = f"""
+    WITH b AS (
+      SELECT doc_id,
+             ((fp % {SPLIT_BUCKETS}) + {SPLIT_BUCKETS}) % {SPLIT_BUCKETS}
+               AS bucket,
+             text
+      FROM (SELECT doc_id, text,
+                   {rolling_fingerprint_sql("string_split(text, ' ')")} AS fp
+            FROM documents)
+    ),
+    grams AS (SELECT doc_id, bucket, unnest({_NG}) AS ng FROM b),
+    hg AS (SELECT doc_id, bucket, ng FROM grams
+           WHERE bucket >= {TRAIN_BUCKETS}),
+    tmatched AS (
+      SELECT DISTINCT ng FROM grams
+      WHERE bucket < {TRAIN_BUCKETS} AND ng IN (SELECT ng FROM hg)
+    )
+    SELECT hg.doc_id AS doc_id,
+           CASE WHEN hg.bucket < {TRAIN_BUCKETS + 2} THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*)::BIGINT AS n_leaked
+    FROM hg JOIN tmatched USING (ng)
+    GROUP BY hg.doc_id, hg.bucket
+    ORDER BY doc_id
+"""
+
+
+@register("split_leakage", _LEAK_SQL)
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split, n_leaked): for every holdout (valid/test) document,
+    how many of its distinct word-13-grams also occur in some TRAIN
+    document — the contamination audit for the split `stratified_split`
+    actually ships.
+
+    stratified_split's fingerprint bucketing makes exact-duplicate leakage
+    impossible by construction (identical text → identical bucket), so what
+    this measures is the residual channel: near-duplicates and shared
+    boilerplate that differ enough to fingerprint apart but still share
+    13-grams. n_leaked > 0 does not mean "remove the doc" — it is the
+    per-doc severity the curation pass thresholds on (the same role
+    `decontaminate`'s n_hits plays for external benchmarks).
+
+    Scale shape (100 TB): the holdout is 4% of the corpus by construction
+    and benchmark-sized in practice. Train-side grams are generated in the
+    map stage and immediately filtered by a BROADCAST of the distinct
+    holdout grams — the train side never shuffles (asserted in
+    tests/test_decontaminate.py); only matched grams (≤ |holdout grams|)
+    reach the distinct, and the final per-doc count joins two
+    holdout-bounded sides. Same hash-key upgrade path as `decontaminate`:
+    at production scale the broadcast carries xxhash64(ng), strings here
+    keep the DuckDB twin collision-exact."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        rolling_fingerprint_expr(ts.tokens_expr(F.col("text"))),
+        F.lit(SPLIT_BUCKETS),
+    )
+    grams = d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.explode(shingles_expr(ts.tokens_expr(F.col("text")), k=K)).alias(
+            "ng"
+        ),
+    )
+    hg = grams.filter(F.col("bucket") >= TRAIN_BUCKETS)
+    hng = hg.select("ng").distinct()
+    tmatched = (
+        grams.filter(F.col("bucket") < TRAIN_BUCKETS)
+        .join(F.broadcast(hng), "ng")
+        .select("ng")
+        .distinct()
+    )
+    return (
+        hg.join(F.broadcast(tmatched), "ng")
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n_leaked"))
+        .select(
+            "doc_id",
+            F.when(F.col("bucket") < TRAIN_BUCKETS + 2, "valid")
+            .otherwise("test")
+            .alias("split"),
+            "n_leaked",
+        )
         .orderBy("doc_id")
     )

@@ -52,3 +52,68 @@ def test_decontaminate_flags_planted_pair(spark, tmp_path):
     docs.to_parquet(d + "/documents.parquet")
     out = decontaminate(spark, d).collect()
     assert [(r.doc_id, r.n_hits) for r in out] == [(1, 1)]
+
+
+def test_split_leakage_plan_shape(spark, sf_dir):
+    """Both joins are broadcast (the train side never shuffles its grams);
+    only distincts/aggs over holdout-bounded sets may exchange."""
+    from isimip_qa_spark.queries.decontaminate import split_leakage
+
+    plan = plan_of(split_leakage(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_leakage_planted(spark, tmp_path):
+    """Two docs that share one 13-gram but land on opposite sides of the
+    real stratified_split boundary are reported with the exact shared-gram
+    count; the train-side doc is never reported."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from isimip_qa_spark.functions import textstats as ts
+    from isimip_qa_spark.functions.fingerprint import (
+        rolling_fingerprint_expr,
+    )
+    from isimip_qa_spark.queries.decontaminate import (
+        SPLIT_BUCKETS,
+        TRAIN_BUCKETS,
+        split_leakage,
+    )
+
+    shared = " ".join(f"q{i}" for i in range(13))
+    # search suffixes until we have one train-side and one holdout-side
+    # variant of a doc carrying the shared gram (bucket is a pure function
+    # of the text, so the probe is deterministic and cached in-session)
+    probe = spark.createDataFrame(
+        [(i, shared + f" tail{i}") for i in range(400)],
+        "doc_id long, text string",
+    ).select(
+        "doc_id",
+        F.pmod(
+            rolling_fingerprint_expr(ts.tokens_expr(F.col("text"))),
+            F.lit(SPLIT_BUCKETS),
+        ).alias("bucket"),
+    )
+    buckets = {r.doc_id: r.bucket for r in probe.collect()}
+    train_i = next(i for i, b in buckets.items() if b < TRAIN_BUCKETS)
+    hold_i = next(i for i, b in buckets.items() if b >= TRAIN_BUCKETS)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [shared + f" tail{train_i}", shared + f" tail{hold_i}"],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [0] * 2,
+        }
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    docs.to_parquet(d + "/documents.parquet")
+    out = [(r.doc_id, r.n_leaked) for r in split_leakage(spark, d).collect()]
+    # both variants contain exactly 2 distinct 13-grams: the shared one and
+    # the one ending in their distinct tail word -> n_leaked == 1
+    assert out == [(1, 1)]
