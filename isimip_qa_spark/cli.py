@@ -58,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--gen-pages", type=int, default=0,
         help="generate N synthetic pages at --input first (smoke/bench)",
     )
+    p.add_argument(
+        "--export-dir", default=None,
+        help="after QA completes, export the kept documents as "
+        "integrity-verified compressed JSONL shards (plans/export.py) "
+        "under this directory",
+    )
+    p.add_argument("--export-shards", type=int, default=16)
     return p
 
 
@@ -75,6 +82,12 @@ def _parse_window(tok: str | None):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.export_dir and (args.windows or args.cohorts):
+        raise SystemExit(
+            "--export-dir exports a single run's kept set; for a grid, "
+            "export each combo's <output>/<window>/<cohort>/<hash> dir "
+            "in a separate invocation"
+        )
 
     from pyspark.sql import SparkSession
 
@@ -123,6 +136,21 @@ def main(argv=None) -> int:
             spark, pages, cfg, args.output,
             resume=not args.no_resume, cache_base=args.cache,
         )
+    if args.export_dir:
+        import os
+
+        from .plans.export import export_jsonl_shards
+
+        kept = spark.read.parquet(os.path.join(args.output, "data"))
+        r = export_jsonl_shards(
+            kept, args.export_dir, n_shards=args.export_shards
+        )
+        summary["export"] = {
+            "out_dir": r.out_dir,
+            "n_shards": r.n_shards,
+            "n_docs": r.n_docs,
+            "n_tokens": r.n_tokens,
+        }
     print(json.dumps(summary))
     return 0
 

@@ -58,11 +58,21 @@ def test_spark_submit_py_files_roundtrip(tmp_path):
     assert summary["chunks_run"] == [0, 1]
     assert os.path.exists(os.path.join(out, "_manifest", "chunk_1.json"))
 
-    # re-submit with the same --output: resumes, computes nothing
+    # re-submit with the same --output: resumes, computes nothing — and
+    # exports the kept set as verified JSONL shards (the writer raises on
+    # any read-back/manifest mismatch, so returncode 0 IS the integrity
+    # assertion)
+    exp = str(tmp_path / "export")
     r2 = subprocess.run(
-        base, capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        base + ["--export-dir", exp, "--export-shards", "4"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
         timeout=420,
     )
     assert r2.returncode == 0, r2.stderr[-3000:]
     summary2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert summary2["chunks_run"] == []
+    assert summary2["export"]["n_shards"] == 4
+    assert summary2["export"]["n_docs"] > 0
+    manifest = json.load(open(os.path.join(exp, "manifest.json")))
+    assert len(manifest["shards"]) == 4
+    assert os.path.isdir(os.path.join(exp, "data", "shard_id=0"))
