@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "rendezvous_shards",
     "mirror_hosts",
     "split_leakage",
+    "cluster_size_hist",
 ]
 
 

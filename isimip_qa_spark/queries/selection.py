@@ -205,3 +205,53 @@ def domain_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
         F.round(F.max("share"), 6).alias("top_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size distribution.
+# ---------------------------------------------------------------------------
+
+@register(
+    "cluster_size_hist",
+    oracle=f"""
+    WITH sizes AS (
+      SELECT cluster_id, count(*)::BIGINT AS k
+      FROM ({_clusters_sql(JACCARD_THRESHOLD)})
+      GROUP BY cluster_id
+    )
+    SELECT length(bin(k)) ::BIGINT AS bucket,
+           count(*)::BIGINT AS n_clusters,
+           sum(k)::BIGINT AS n_docs
+    FROM sizes
+    GROUP BY bucket
+    ORDER BY bucket
+    """.replace("length(bin(k))", "(floor(log2(k))::BIGINT + 1)"),
+)
+def cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, n_clusters, n_docs): distribution of near-dup cluster sizes
+    in power-of-two buckets (bucket b covers sizes [2^(b-1), 2^b - 1]) —
+    the headline chart of every dedup study (how much of the corpus sits in
+    singleton clusters vs mass-duplicate families), and the observability
+    face for the LSH bucket caps: a crawl whose top bucket grows round over
+    round is accumulating boilerplate families.
+
+    Scale shape: composes dedup_clusters, then two bounded hash aggs —
+    per-cluster counts (8-byte keys, partial-aggregable) and the ≤64-key
+    bucket rollup. Bucket id via length(bin(k)) = floor(log2(k)) + 1, the
+    same exact integer trick as doclen_histogram (datasheet.py); the DuckDB
+    twin uses floor(log2()) on BIGINT which is exact for k < 2^53."""
+    sizes = (
+        dedup_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    bucket = F.length(F.bin(F.col("k"))).cast("long")
+    return (
+        sizes.select(bucket.alias("bucket"), "k")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("k").alias("n_docs"),
+        )
+        .orderBy("bucket")
+    )
