@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "mirror_hosts",
     "split_leakage",
     "cluster_size_hist",
+    "bpe_segment",
 ]
 
 

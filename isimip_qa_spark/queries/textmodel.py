@@ -379,3 +379,79 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("pair", 2, 1).alias("rhs"),
         "n_pairs",
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE segmentation with a shipped merge list. The merge list below is the
+# artifact operators/bpe.py's train_bpe produces (its leading entries ARE
+# this corpus's trained merges — asserted in tests/test_bpe.py); shipping
+# it as config mirrors how tokenizers deploy (merges.txt), and makes the
+# application side exactly oracle-able: both engines run the identical
+# regexp-space + replace chain (replace-all leftmost-non-overlapping is
+# BPE's within-word merge order; the space padding stops substring matches
+# inside multi-char symbols).
+# ---------------------------------------------------------------------------
+
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("o", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("a", "n"),
+    ("t", "h"),
+    ("th", "e"),
+    ("er", "s"),
+]
+
+
+def bpe_len_expr(w: Column) -> Column:
+    """Subword count of one word under BPE_MERGES — pure column exprs."""
+    rep = F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 "))
+    for lhs, rhs in BPE_MERGES:
+        rep = F.replace(
+            rep, F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} ")
+        )
+    return F.size(F.split(F.trim(rep), " "))
+
+
+def _bpe_len_sql(w_sql: str) -> str:
+    rep = f"' ' || regexp_replace({w_sql}, '(.)', '\\1 ', 'g')"
+    for lhs, rhs in BPE_MERGES:
+        rep = f"replace({rep}, ' {lhs} {rhs} ', ' {lhs}{rhs} ')"
+    return f"len(string_split(trim({rep}), ' '))"
+
+
+@register(
+    "bpe_segment",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKENS_SQL})::BIGINT AS n_tok_ws,
+           list_sum(list_transform({_TOKENS_SQL},
+                                   w -> {_bpe_len_sql("w")}))::BIGINT
+             AS n_tok_bpe
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tok_ws, n_tok_bpe): per-document token counts under
+    whitespace tokenization vs the shipped BPE merge list — the sizing
+    numbers a context-window budget (pack_sequences, chunk_long_docs) is
+    computed from when training uses a subword tokenizer.
+
+    Zero shuffle: the merge chain runs inside a transform over the token
+    array in the scan stage. At 10^12 docs the refinement is a broadcast
+    word→n_subwords dim built from word_vocab (operators/bpe.py) so each
+    DISTINCT word pays the replace chain once (Heaps-law sublinear), then
+    a map-side join — same answer, same zero-shuffle corpus side."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = ts.tokens_expr(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok_ws"),
+        F.aggregate(
+            F.transform(toks, lambda w: bpe_len_expr(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_tok_bpe"),
+    ).orderBy("doc_id")

@@ -1,0 +1,88 @@
+"""BPE trainer (operators/bpe.py) vs the pure-Python golden, consistency
+with the registered bpe_merge_pairs statistic and the shipped BPE_MERGES
+config, and the zero-shuffle plan of the application query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from isimip_qa_spark.catalog import read_table
+from isimip_qa_spark.operators.bpe import (
+    train_bpe,
+    train_bpe_python,
+    word_vocab,
+)
+from isimip_qa_spark.queries.textmodel import (
+    BPE_MERGES,
+    bpe_len_expr,
+    bpe_segment,
+)
+from tests.test_plans import plan_of
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_trainer_matches_golden(spark):
+    v = [
+        ("hello", 5),
+        ("help", 3),
+        ("hell", 2),
+        ("low", 4),
+        ("lower", 2),
+        ("the", 10),
+        ("then", 4),
+    ]
+    df = spark.createDataFrame(v, "w string, c long")
+    assert train_bpe(df, 6) == train_bpe_python(v, 6)
+
+
+def test_trainer_matches_golden_on_corpus_vocab(spark):
+    vocab = word_vocab(read_table(spark, SF_DIR, "documents"))
+    v = [(r.w, r.c) for r in vocab.collect()]
+    assert train_bpe(vocab, 5) == train_bpe_python(v, 5)
+
+
+def test_shipped_merges_are_the_trained_prefix(spark):
+    """BPE_MERGES' docstring claim: its leading entries are this corpus's
+    trained merges."""
+    vocab = word_vocab(read_table(spark, SF_DIR, "documents"))
+    assert train_bpe(vocab, 4) == BPE_MERGES[:4]
+
+
+def test_first_merge_is_top_pair_statistic(spark):
+    """Iteration 1 of the trainer must pick bpe_merge_pairs' max-count
+    pair (same statistic, same tie-break)."""
+    from isimip_qa_spark.queries.textmodel import bpe_merge_pairs
+
+    top = (
+        bpe_merge_pairs(spark, SF_DIR)
+        .orderBy(F.desc("n_pairs"), "lhs", "rhs")
+        .limit(1)
+        .collect()[0]
+    )
+    vocab = word_vocab(read_table(spark, SF_DIR, "documents"))
+    assert train_bpe(vocab, 1) == [(top.lhs, top.rhs)]
+
+
+def test_segment_lengths(spark):
+    rows = (
+        spark.createDataFrame(
+            [("the",), ("error",), ("x",), ("inward",)], "w string"
+        )
+        .select(bpe_len_expr(F.col("w")).alias("n"))
+        .collect()
+    )
+    # the: t h e -(t,h)-> th e -(th,e)-> the = 1
+    # error: e r r o r -(e,r)-> er r o r -(o,r)-> er r or = 3
+    # x: single char = 1
+    # inward: i n w a r d -(i,n)-> in w a r d -(a,n)? no ' a n ' absent
+    #         -> in w a r d = 5
+    assert [r.n for r in rows] == [1, 3, 1, 5]
+
+
+def test_bpe_segment_zero_shuffle(spark):
+    plan = plan_of(bpe_segment(spark, SF_DIR))
+    # the only allowed exchange is the final orderBy's range partitioning;
+    # no hash exchange (no join/agg) anywhere
+    assert "hashpartitioning" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
