@@ -119,3 +119,26 @@ def train_bpe_python(vocab: list[tuple[str, int]], n_merges: int):
             for rep, c in reps
         ]
     return merges
+
+
+def bpe_counts_via_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tok_bpe) computed through the word→n_subwords dim — the
+    production path queries/textmodel.py's `bpe_segment` docstring names:
+    each DISTINCT word pays the replace chain once (on the Heaps-law-
+    sublinear vocab), then a broadcast map-side join prices every token
+    occurrence; the corpus never shuffles text (only (doc_id, 8-ish-byte
+    word-ref) rows reach the per-doc sum, and the sum is partial-
+    aggregable). Bit-identical to the pure-expr path (tested)."""
+    from ..queries.textmodel import bpe_len_expr
+
+    dim = word_vocab(docs, text_col).select(
+        "w", bpe_len_expr(F.col("w")).cast("long").alias("n_sub")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        toks.join(F.broadcast(dim), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sub").alias("n_tok_bpe"))
+    )

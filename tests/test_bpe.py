@@ -86,3 +86,21 @@ def test_bpe_segment_zero_shuffle(spark):
     # no hash exchange (no join/agg) anywhere
     assert "hashpartitioning" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dim_path_equals_expr_path(spark):
+    """The broadcast word->n_subwords production path must price every doc
+    identically to the pure-expr path (both run the same replace chain)."""
+    from isimip_qa_spark.operators.bpe import bpe_counts_via_vocab
+
+    docs = read_table(spark, SF_DIR, "documents")
+    via_dim = {
+        r.doc_id: r.n_tok_bpe
+        for r in bpe_counts_via_vocab(docs).collect()
+    }
+    via_expr = {
+        r.doc_id: r.n_tok_bpe for r in bpe_segment(spark, SF_DIR).collect()
+    }
+    assert via_dim == via_expr
+    plan = plan_of(bpe_counts_via_vocab(docs))
+    assert "BroadcastHashJoin" in plan
