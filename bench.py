@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "split_leakage",
     "cluster_size_hist",
     "bpe_segment",
+    "host_families",
 ]
 
 

@@ -323,8 +323,10 @@ MIRROR_CAP = 16  # a segment on > CAP distinct sources is boilerplate, not a
 # pair fan-out at CAP^2/2 instead of n_hosts^2. The oracle applies the
 # identical cut, so capped recall is part of the tested contract.
 
-_MIRROR_SQL = f"""
-    WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+# pair CTE body shared by the mirror_hosts query and the host_families
+# transitive closure below
+_MIRROR_PAIRS_CTE = f"""
+    t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
     segs AS (
       SELECT DISTINCT source,
              array_to_string(toks[(i*{SEG_W}+1):(i*{SEG_W}+{SEG_W})], ' ') AS seg
@@ -333,12 +335,19 @@ _MIRROR_SQL = f"""
     ),
     g AS (SELECT source, seg FROM segs WHERE length(seg) > 0),
     k AS (SELECT seg FROM g GROUP BY seg
-          HAVING count(*) BETWEEN 2 AND {MIRROR_CAP})
-    SELECT a.source AS src_a, b.source AS src_b,
-           count(*)::BIGINT AS shared_segs
-    FROM g a JOIN k USING (seg)
-    JOIN g b ON a.seg = b.seg AND a.source < b.source
-    GROUP BY src_a, src_b
+          HAVING count(*) BETWEEN 2 AND {MIRROR_CAP}),
+    mirror_pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             count(*)::BIGINT AS shared_segs
+      FROM g a JOIN k USING (seg)
+      JOIN g b ON a.seg = b.seg AND a.source < b.source
+      GROUP BY src_a, src_b
+    )
+"""
+
+_MIRROR_SQL = f"""
+    WITH {_MIRROR_PAIRS_CTE}
+    SELECT src_a, src_b, shared_segs FROM mirror_pairs
     ORDER BY shared_segs DESC, src_a, src_b
 """
 
@@ -397,4 +406,74 @@ def mirror_pairs(d: DataFrame, cap: int = MIRROR_CAP) -> DataFrame:
         )
         .agg(F.count("*").alias("shared_segs"))
         .orderBy(F.desc("shared_segs"), "src_a", "src_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mirror-family collapse: hosts → connected components over mirror pairs.
+# ---------------------------------------------------------------------------
+
+FAMILY_MIN_SEGS = 2  # a single shared segment can be coincidence; >= 2
+# shared boilerplate segments is the family edge threshold
+
+
+_FAMILIES_SQL = f"""
+    WITH RECURSIVE {_MIRROR_PAIRS_CTE},
+    p AS (SELECT src_a AS a, src_b AS b FROM mirror_pairs
+          WHERE shared_segs >= {FAMILY_MIN_SEGS}),
+    e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+    r(a, b) AS (
+      SELECT a, a FROM (SELECT a FROM e UNION SELECT b FROM e)
+      UNION
+      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS source, min(b) AS family_id FROM r GROUP BY a),
+    hosts AS (SELECT DISTINCT source FROM documents)
+    SELECT hosts.source AS source,
+           coalesce(comp.family_id, hosts.source) AS family_id
+    FROM hosts LEFT JOIN comp USING (source)
+    ORDER BY source
+"""
+
+
+@register("host_families", _FAMILIES_SQL)
+def host_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, family_id): every host labeled with its mirror family —
+    the connected component (lexicographic-min member) of the
+    `mirror_hosts` graph restricted to pairs sharing ≥ FAMILY_MIN_SEGS
+    segments; hosts in no family are their own. This is the collapse step
+    the mirror signal exists for: per-host quotas (`host_quota_sample`)
+    and reputation (`host_reputation`) keyed on family_id instead of
+    source stop a 50-mirror family from drawing 50 quotas.
+
+    Scale shape: the pair graph is host-granular (nodes = hosts, not
+    docs — at most ~10^7-ish), and the large-star/small-star iteration
+    (operators/components.py) runs entirely on that edge set with
+    driver-side convergence probes; the corpus-sized side only pays the
+    mirror_pairs stages (cap-bounded, text never shuffled). The DuckDB
+    twin is a recursive transitive-closure CTE over the identical pair
+    CTE, so the component labels — not just the pairs — are
+    value-checked."""
+    return host_families_frame(read_table(spark, sf_dir, "documents"))
+
+
+def host_families_frame(
+    d: DataFrame, min_segs: int = FAMILY_MIN_SEGS
+) -> DataFrame:
+    """Core of host_families over any (source, text) frame (testable with
+    planted mirror families; `min_segs` parameterised)."""
+    from ..operators.components import connected_components
+
+    pairs = mirror_pairs(d).filter(F.col("shared_segs") >= min_segs)
+    comp = connected_components(pairs, "src_a", "src_b")
+    hosts = d.select("source").distinct()
+    return (
+        hosts.join(comp, hosts["source"] == comp["node"], "left")
+        .select(
+            "source",
+            F.coalesce(F.col("component"), F.col("source")).alias(
+                "family_id"
+            ),
+        )
+        .orderBy("source")
     )

@@ -58,3 +58,29 @@ def test_duplicate_segment_within_host_counts_once(spark):
         for r in mirror_pairs(d).collect()
     }
     assert got == {("a", "b"): 1}
+
+
+def test_host_families_planted(spark):
+    """Three mirrors chained a-b-c (a~b and b~c share >= 2 segments, a and
+    c share nothing directly) collapse into ONE family via transitivity;
+    a single-shared-segment pair (d,e) stays below FAMILY_MIN_SEGS and
+    both remain singletons."""
+    from isimip_qa_spark.queries.curation import host_families_frame
+
+    s1, s2, s3, s4, s5 = (_seg(t) for t in ("f1", "f2", "f3", "f4", "co"))
+    rows = [
+        ("a", _doc(s1 + s2 + _seg("ua"))),
+        ("b", _doc(s1 + s2 + s3 + s4)),
+        ("c", _doc(s3 + s4 + _seg("uc"))),
+        ("d", _doc(s5 + _seg("ud"))),
+        ("e", _doc(s5 + _seg("ue"))),
+    ]
+    d = spark.createDataFrame(rows, "source string, text string")
+    fam = {r.source: r.family_id for r in host_families_frame(d).collect()}
+    assert fam == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "e"}
+    # with the threshold at 1 the coincidental pair becomes a family too
+    fam1 = {
+        r.source: r.family_id
+        for r in host_families_frame(d, min_segs=1).collect()
+    }
+    assert fam1 == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
