@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "split_leakage",
     "cluster_size_hist",
     "bpe_segment",
+    "dsir_weights",
+    "dsir_select",
+    "decontaminate_fuzzy",
     # host_families is correctness-gated but not benched: at toy scale its
     # wall time is ~6 connected-components rounds of fixed per-job overhead
     # over a 187-edge host graph (the engine cost of iterative CC is

@@ -43,6 +43,7 @@ def load_all() -> None:
         datasheet,
         decontaminate,
         dedup,
+        dsir,
         evaluation,
         extract,
         extras,

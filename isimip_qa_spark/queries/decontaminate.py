@@ -40,6 +40,7 @@ from ..functions.fingerprint import (
     rolling_fingerprint_expr,
     rolling_fingerprint_sql,
     shingles_expr,
+    shingles_sql,
 )
 from . import register
 
@@ -189,4 +190,92 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_leaked",
         )
         .orderBy("doc_id")
+    )
+
+
+# --- fuzzy (near-dup) decontamination ------------------------------------
+
+FUZZY_THRESHOLD = 0.5  # same Jaccard grade as the dedup family
+
+_FUZZY_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {shingles_sql("string_split(text, ' ')")} AS sh,
+         doc_id % {EVAL_MOD} = 0 AS is_eval
+  FROM documents
+),
+p AS (
+  SELECT t.doc_id AS doc_id, e.doc_id AS eval_id,
+         len(list_intersect(t.sh, e.sh))::DOUBLE
+           / len(list_distinct(list_concat(t.sh, e.sh))) AS jaccard
+  FROM d t JOIN d e ON NOT t.is_eval AND e.is_eval
+)
+SELECT doc_id, eval_id, round(jaccard, 6) AS jaccard
+FROM p WHERE jaccard >= {FUZZY_THRESHOLD}
+"""
+
+
+@register("decontaminate_fuzzy", _FUZZY_SQL)
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate contamination: training docs whose word-3-shingle
+    Jaccard against ANY benchmark doc reaches FUZZY_THRESHOLD — the fuzzy
+    complement of `decontaminate`'s exact 13-gram collision (a lightly
+    paraphrased or truncated benchmark page shares most shingles but can
+    dodge every verbatim 13-gram).
+
+    Scale shape (100 TB): the benchmark side is SMALL by construction, so
+    its MinHash band keys AND its distinct shingle-hash sets both
+    broadcast. The training side streams through the scan once: band keys
+    from the vectorized numpy kernel (functions/fingerprint.py), candidates
+    from a BroadcastHashJoin on the int64 band key (the train side never
+    shuffles on it), and only candidate rows — bounded by the contamination
+    rate times band multiplicity, then `.distinct()` — reach the exact
+    shingle-set verify. No self-join anywhere, so mass-duplicate training
+    clusters fan out linearly (k candidates), never k².
+
+    Recall contract: a contaminated pair is surfaced iff it shares ≥ 1 of
+    the 16 LSH bands — the identical contract `dedup_minhash_lsh` holds
+    against the same O(n²) ground-truth oracle (P(miss) = (1−J⁴)¹⁶; the
+    sf0.01 gate proves the fixtures sit inside it). Verification Jaccard is
+    computed over xxhash64(shingle) sets (8-byte arrays, never strings) —
+    collision tolerance ~|shingles|²/2⁶⁴, checked by the string-exact
+    oracle."""
+    from ..functions.fingerprint import minhash_bands_udf
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    sh64 = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                shingles_expr(ts.tokens_expr(F.col("text"))),
+                lambda s: F.xxhash64(s),
+            )
+        )
+    )
+    sig = d.select(
+        "doc_id",
+        is_eval.alias("is_eval"),
+        F.explode(minhash_bands_udf(F.col("text"))).alias("k"),
+    )
+    cands = (
+        sig.filter(~F.col("is_eval"))
+        .select("doc_id", "k")
+        .join(
+            F.broadcast(
+                sig.filter(F.col("is_eval")).select(
+                    F.col("doc_id").alias("eval_id"), "k"
+                )
+            ),
+            "k",
+        )
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    tsh = d.filter(~is_eval).select("doc_id", sh64.alias("sh_t"))
+    esh = d.filter(is_eval).select(F.col("doc_id").alias("eval_id"), sh64.alias("sh_e"))
+    joined = cands.join(tsh, "doc_id").join(F.broadcast(esh), "eval_id")
+    inter = F.size(F.array_intersect("sh_t", "sh_e")).cast("double")
+    union = (F.size("sh_t") + F.size("sh_e")).cast("double") - inter
+    jac = inter / union
+    return joined.filter(jac >= FUZZY_THRESHOLD).select(
+        "doc_id", "eval_id", F.round(jac, 6).alias("jaccard")
     )
