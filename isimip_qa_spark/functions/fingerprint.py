@@ -93,12 +93,15 @@ def shingles_expr(tokens: Column, k: int = 3) -> Column:
 
 
 def shingles_sql(tokens_sql: str, k: int = 3) -> str:
-    """DuckDB twin of `shingles_expr` (1-based list slicing)."""
-    assert k == 3, "oracle twin written for k=3"
+    """DuckDB twin of `shingles_expr` (1-based INCLUSIVE list slicing).
+    `array_to_string` over the clamped slice joins exactly the elements
+    that exist — matching Spark's `concat_ws(slice(...))` on docs shorter
+    than k tokens (a `||`-chain with coalesce('') pads trailing spaces
+    there instead; caught by tests/test_portable_hash_property.py)."""
     t = tokens_sql
     return (
-        f"list_distinct(list_transform(range(1, greatest(len({t}) - 2, 1) + 1), "
-        f"i -> {t}[i] || ' ' || coalesce({t}[i+1], '') || ' ' || coalesce({t}[i+2], '')))"
+        f"list_distinct(list_transform(range(1, greatest(len({t}) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string({t}[i:i+{k - 1}], ' ')))"
     )
 
 

@@ -142,17 +142,51 @@ model AS (
 """
 
 
+def _count_batches(it):
+    """mapInPandas kernel: per Arrow batch, PRE-AGGREGATED per-bucket
+    target/raw n-gram counts (exactly B rows out per batch — the map-side
+    combine np.bincount gives for free). The downstream groupBy(bucket)
+    shuffle therefore carries ≤ B rows per batch no matter how many
+    documents the batch holds — the same partials-only discipline as the
+    QA metrics sink (plans/sink.py)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        uni, big, doc_idx, same, _ = _bucket_parts(pdf["text"])
+        is_t = (pdf["doc_id"].to_numpy() % TARGET_MOD) == 0
+        t_uni = is_t[doc_idx]
+        t_big = is_t[doc_idx[:-1][same]]
+        t_cnt = np.bincount(uni[t_uni], minlength=B) + np.bincount(
+            big[t_big], minlength=B
+        )
+        r_cnt = np.bincount(uni[~t_uni], minlength=B) + np.bincount(
+            big[~t_big], minlength=B
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": np.arange(B, dtype=np.int64),
+                "target_cnt": t_cnt.astype(np.int64),
+                "raw_cnt": r_cnt.astype(np.int64),
+            }
+        )
+
+
 def _model_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fit the B-bucket model as a DataFrame: one explode+hash-agg pass
-    (output exactly B rows), densified against spark.range(B)."""
+    """Fit the B-bucket model as a DataFrame: one vectorized-kernel pass
+    emitting per-batch bucket partials, summed by one ≤B-key hash agg,
+    densified against spark.range(B). (A pure-expression explode+agg fit
+    was tried and REJECTED: the string ops behind the portable token hash
+    run ~3× per token there and dominated — measured 10s vs <1s at sf0.1;
+    the counts are integer-exact either way and the DuckDB oracle checks
+    them.)"""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ng = d.select(
-        (F.col("doc_id") % TARGET_MOD == 0).alias("is_target"),
-        F.explode(_ngram_buckets_expr(tokens_expr(F.col("text")))).alias("bucket"),
+    partials = d.mapInPandas(
+        _count_batches, "bucket long, target_cnt long, raw_cnt long"
     )
-    cnt = ng.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("target_cnt"),
-        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("raw_cnt"),
+    cnt = partials.groupBy("bucket").agg(
+        F.sum("target_cnt").alias("target_cnt"),
+        F.sum("raw_cnt").alias("raw_cnt"),
     )
     dense = (
         spark.range(B)
@@ -205,7 +239,78 @@ def _logratio_array(spark: SparkSession, sf_dir: str) -> list[float]:
     return arr
 
 
+def _bucket_parts(texts):
+    """Vectorized unigram+bigram hash buckets — the same integers as
+    `_ngram_buckets_expr`, from one exploded token frame (the
+    `_shingle_parts` technique, functions/fingerprint.py). Returns
+    (buckets: int64 array, doc_idx: int64 array, n_grams per doc)."""
+    import numpy as np
+
+    texts = texts.reset_index(drop=True)
+    toks = texts.str.split(" ").explode()
+    doc_idx = toks.index.to_numpy(dtype=np.int64)
+    tok_len = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+
+    def _ords(s):
+        arr = s.fillna("").to_numpy(dtype="U1")
+        return arr.view(np.uint32).astype(np.int64)
+
+    first_ord = _ords(toks.str.slice(0, 1))
+    last_ord = _ords(toks.str.slice(-1))
+    th = (tok_len * KNUTH + first_ord * 40503 + last_ord) % MOD31
+    uni = th % B
+    same = doc_idx[:-1] == doc_idx[1:]  # bigram partner in same doc
+    big = ((th[:-1] * KNUTH + th[1:]) % MOD31)[same] % B
+    n_tok = np.bincount(doc_idx, minlength=len(texts))
+    n_grams = n_tok + np.maximum(n_tok - 1, 0)
+    return uni, big, doc_idx, same, n_grams
+
+
+def _score_kernel(lr):
+    """(logratio array) → pandas kernel: texts → (n_grams, logweight).
+    Per-doc sums via bincount with float64 weights — every addend is a
+    dyadic multiple of 1/Q, so the sum is exact in any order (the same
+    contract as functions/perplexity.py)."""
+
+    def score(texts):
+        import numpy as np
+        import pandas as pd
+
+        uni, big, doc_idx, same, n_grams = _bucket_parts(texts)
+        lw = np.bincount(doc_idx, weights=lr[uni], minlength=len(texts))
+        lw += np.bincount(
+            doc_idx[:-1][same], weights=lr[big], minlength=len(texts)
+        )
+        return pd.DataFrame({"n_grams": n_grams, "logweight": lw})
+
+    return score
+
+
 def _weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoring plan: one scan, one ArrowEvalPython, ZERO shuffle. The
+    B-float model rides into the kernel closure (8 KB — broadcast-scale).
+    An expression-tree fold over an array literal was tried and REJECTED:
+    Catalyst re-materializes the 1024-element literal array per
+    element_at call, ~O(B) work per n-gram (measured 6× slower at
+    sf0.1); the kernel is bit-identical (tests/test_dsir.py)."""
+    import numpy as np
+
+    lr = np.array(_logratio_array(spark, sf_dir), dtype=np.float64)
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    udf = F.pandas_udf(
+        _score_kernel(lr), "n_grams long, logweight double"
+    )
+    return (
+        d.filter(F.col("doc_id") % TARGET_MOD != 0)
+        .select("doc_id", udf(F.col("text")).alias("s"))
+        .select("doc_id", F.col("s.n_grams").alias("n_grams"),
+                F.col("s.logweight").alias("logweight"))
+    )
+
+
+def _weights_expr_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-expression reference path (slow: see _weights_df docstring) —
+    kept as the bit-equality twin the kernel is tested against."""
     lr = _logratio_array(spark, sf_dir)
     arr = F.array(*[F.lit(v) for v in lr])
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -287,18 +392,22 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability ∝ exp(logweight), made deterministic by the seedless
     fingerprint-derived uniform. Plan is TakeOrderedAndProject (per-task
     top-K, K·P driver merge), never a global sort."""
-    w = _weights_df(spark, sf_dir)
+    import numpy as np
+
+    lr = np.array(_logratio_array(spark, sf_dir), dtype=np.float64)
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    g = d.filter(F.col("doc_id") % TARGET_MOD != 0).select(
-        "doc_id", _gumbel_expr(F.col("text")).alias("g")
+    udf = F.pandas_udf(_score_kernel(lr), "n_grams long, logweight double")
+    scored = (
+        d.filter(F.col("doc_id") % TARGET_MOD != 0)
+        .select(
+            "doc_id",
+            udf(F.col("text")).getField("logweight").alias("logweight"),
+            _gumbel_expr(F.col("text")).alias("g"),
+        )
     )
-    # both sides derive from the same scan; recombine on the 8-byte doc_id.
-    # (kept as a join so each face stays independently testable; Catalyst
-    # collapses it to one scan via exchange reuse when sides share the plan)
     key = F.round(F.col("g") + F.col("logweight"), 6)
     return (
-        w.join(g, "doc_id")
-        .select("doc_id", "logweight", key.alias("gumbel_key"))
+        scored.select("doc_id", "logweight", key.alias("gumbel_key"))
         .orderBy(F.col("gumbel_key").desc(), "doc_id")
         .limit(SELECT_K)
     )

@@ -81,6 +81,22 @@ def test_planted_target_similarity_orders_weights(spark, tmp_path):
     assert n_sim == len(sim_scores)  # all similar docs survive the resample
 
 
+def test_kernel_bit_identical_to_expression_path(spark):
+    """The vectorized scoring kernel must produce the exact doubles the
+    pure-expression fold produces (dyadic addends ⇒ order-free sums)."""
+    from isimip_qa_spark.queries.dsir import _weights_expr_df
+
+    fast = {
+        (r["doc_id"], r["n_grams"], r["logweight"])
+        for r in dsir_weights(spark, SF).collect()
+    }
+    slow = {
+        (r["doc_id"], r["n_grams"], r["logweight"])
+        for r in _weights_expr_df(spark, SF).collect()
+    }
+    assert fast == slow
+
+
 def test_scoring_plan_is_shuffle_free_and_select_is_topk(spark):
     wplan = (
         dsir_weights(spark, SF)._jdf.queryExecution().executedPlan().toString()
