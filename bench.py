@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "dsir_select",
     "decontaminate_fuzzy",
+    "dsir_kl",
     # host_families is correctness-gated but not benched: at toy scale its
     # wall time is ~6 connected-components rounds of fixed per-job overhead
     # over a 187-edge host graph (the engine cost of iterative CC is

@@ -10,7 +10,7 @@ is carved deterministically out of the corpus (doc_id % TARGET_MOD == 0,
 the same self-contained device `queries/decontaminate.py` uses for its
 benchmark side), so the whole chain is oracle-able.
 
-Three registered faces:
+Registered faces:
 - `dsir_logratio` — the fitted B-bucket model: per-bucket target/raw
   counts and the smoothed log-likelihood-ratio, quantized to a dyadic
   grid (multiples of 1/1024) so every downstream per-doc SUM is exact in
@@ -24,6 +24,8 @@ Three registered faces:
   with the uniform drawn from the doc's content fingerprint (seedless,
   reproducible, task-retry-safe — `rand()` is banned for the same reasons
   as in queries/mixing.py).
+- `dsir_kl` — one-row selection-quality report: KL(selected ‖ target)
+  beside KL(raw ‖ target) over the hashed-n-gram buckets.
 
 Scale shape (100 TB):
 - Model fit is ONE pass: explode hashed n-gram buckets inside the map
@@ -411,3 +413,121 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("gumbel_key").desc(), "doc_id")
         .limit(SELECT_K)
     )
+
+
+# --- selection-quality report: KL(selected ‖ target) vs KL(raw ‖ target) --
+
+_SELECT_SQL = (
+    _WEIGHTS_SQL.replace(
+        "AS logweight",
+        "AS logweight, round(__GUMBEL__ + __LW__, 6) AS gumbel_key",
+    )
+    .replace("__GUMBEL__", _gumbel_sql())
+    .replace(
+        "__LW__",
+        f"list_sum(list_transform({_ngram_buckets_sql(_TOKENS_SQL)},"
+        f" b -> arr[(b + 1)::INT]))::DOUBLE",
+    )
+)
+
+_KL_SQL = (
+    _SELECT_SQL
+    + f""",
+sel AS (SELECT doc_id FROM scored ORDER BY gumbel_key DESC, doc_id
+        LIMIT {SELECT_K}),
+selcnt AS (
+  SELECT bucket, count(*) AS s_cnt FROM (
+    SELECT unnest({_ngram_buckets_sql(_TOKENS_SQL)}) AS bucket
+    FROM documents JOIN sel USING (doc_id)
+  ) GROUP BY bucket
+),
+dist AS (
+  SELECT m.bucket, m.target_cnt, m.raw_cnt, coalesce(selcnt.s_cnt, 0) AS s_cnt
+  FROM model m LEFT JOIN selcnt ON m.bucket = selcnt.bucket
+),
+tot AS (
+  SELECT sum(target_cnt) AS t_tot, sum(raw_cnt) AS r_tot, sum(s_cnt) AS s_tot
+  FROM dist
+)
+SELECT
+  round(sum(((s_cnt + {ALPHA})::DOUBLE / (s_tot + {ALPHA * B}))
+        * ln(((s_cnt + {ALPHA})::DOUBLE / (s_tot + {ALPHA * B}))
+           / ((target_cnt + {ALPHA})::DOUBLE / (t_tot + {ALPHA * B})))), 6)
+    AS kl_selected,
+  round(sum(((raw_cnt + {ALPHA})::DOUBLE / (r_tot + {ALPHA * B}))
+        * ln(((raw_cnt + {ALPHA})::DOUBLE / (r_tot + {ALPHA * B}))
+           / ((target_cnt + {ALPHA})::DOUBLE / (t_tot + {ALPHA * B})))), 6)
+    AS kl_raw
+FROM dist, tot
+"""
+)
+
+
+@register("dsir_kl", _KL_SQL)
+def dsir_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row selection-quality report: smoothed KL divergence of the
+    Gumbel-top-K selected subset's hashed-n-gram distribution from the
+    target distribution, beside the raw pool's — the number the DSIR
+    paper evaluates selection by (selection working ⇒
+    kl_selected < kl_raw).
+
+    Scale shape: the selected id set is K rows (broadcast); its n-gram
+    recount touches only the K selected docs via a BroadcastHashJoin
+    filter on the scan, then collapses to ≤ B rows map-side through the
+    same `_count_batches` kernel; everything after is arithmetic over B
+    rows. The dominant cost is `dsir_select`'s scan, run once.
+
+    Float contract: the KL sums are Σ over B=1024 terms of products of
+    ln() on identical rationals — not dyadic, so cross-engine
+    accumulation jitter is ~1e-12 relative; round-to-6 absorbs it (the
+    defensive-rounding convention, queries/__init__.py)."""
+    model = _model_df(spark, sf_dir)
+    sel = dsir_select(spark, sf_dir).select("doc_id")
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    picked = d.join(F.broadcast(sel), "doc_id")
+    selcnt = (
+        picked.mapInPandas(
+            _sel_count_batches, "bucket long, s_cnt long"
+        )
+        .groupBy("bucket")
+        .agg(F.sum("s_cnt").alias("s_cnt"))
+    )
+    dist = (
+        model.join(selcnt, "bucket", "left")
+        .select(
+            "bucket",
+            "target_cnt",
+            "raw_cnt",
+            F.coalesce(F.col("s_cnt"), F.lit(0)).alias("s_cnt"),
+        )
+    )
+    tot = dist.agg(
+        F.sum("target_cnt").alias("t_tot"),
+        F.sum("raw_cnt").alias("r_tot"),
+        F.sum("s_cnt").alias("s_tot"),
+    )
+    j = dist.crossJoin(F.broadcast(tot))
+    ps = (F.col("s_cnt") + ALPHA) / (F.col("s_tot") + ALPHA * B)
+    pt = (F.col("target_cnt") + ALPHA) / (F.col("t_tot") + ALPHA * B)
+    pr = (F.col("raw_cnt") + ALPHA) / (F.col("r_tot") + ALPHA * B)
+    return j.agg(
+        F.round(F.sum(ps * F.log(ps / pt)), 6).alias("kl_selected"),
+        F.round(F.sum(pr * F.log(pr / pt)), 6).alias("kl_raw"),
+    )
+
+
+def _sel_count_batches(it):
+    """mapInPandas kernel: per-batch bucket counts of the selected docs
+    (no target/raw split — one count column)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        uni, big, doc_idx, same, _ = _bucket_parts(pdf["text"])
+        cnt = np.bincount(uni, minlength=B) + np.bincount(big, minlength=B)
+        yield pd.DataFrame(
+            {
+                "bucket": np.arange(B, dtype=np.int64),
+                "s_cnt": cnt.astype(np.int64),
+            }
+        )

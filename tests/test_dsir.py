@@ -108,7 +108,38 @@ def test_scoring_plan_is_shuffle_free_and_select_is_topk(spark):
     assert "TakeOrderedAndProject" in splan  # per-task top-K, no global sort
 
 
-@pytest.mark.parametrize("name", ["dsir_logratio", "dsir_weights", "dsir_select"])
+def test_kl_report_shows_selection_moves_toward_target(spark, tmp_path):
+    """On a corpus where half the raw pool matches the target vocabulary,
+    Gumbel-top-K keeps the matching half — so the selected distribution
+    must sit strictly closer to the target than the raw pool does."""
+    from isimip_qa_spark.queries.dsir import SELECT_K, dsir_kl
+
+    target_text = "the quick brown fox jumps over the lazy dog again and again"
+    similar = "a quick brown fox jumps over a lazy dog every day"
+    dissimilar = "zzqx wvut ponm lkji hgfe dcba zyxw vuts rqpo nmlk"
+    rows = []
+    # raw pool must EXCEED the resample size or selection is vacuous
+    # (top-K of 54 docs with K=200 keeps everything)
+    n_docs = 3 * SELECT_K
+    for i in range(n_docs):
+        if i % TARGET_MOD == 0:
+            t = target_text
+        elif i % 2 == 0:
+            t = similar
+        else:
+            t = dissimilar
+        rows.append((i, t, "en", "planted", len(t)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    r = dsir_kl(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    assert r[0]["kl_selected"] < r[0]["kl_raw"]
+
+
+@pytest.mark.parametrize(
+    "name", ["dsir_logratio", "dsir_weights", "dsir_select", "dsir_kl"]
+)
 def test_registered_with_oracle(name):
     from isimip_qa_spark.queries import ORACLES, QUERIES, load_all
 
