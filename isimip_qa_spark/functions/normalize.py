@@ -34,16 +34,26 @@ def nfc_udf(col: Column) -> Column:
 
 
 def normalize_text_expr(text: Column) -> Column:
-    """NFC → control strip → whitespace collapse → trim."""
-    x = nfc_udf(text)
-    x = F.regexp_replace(x, _CTRL_RE, "")
+    """Control strip → NFC → whitespace collapse → trim.
+
+    Control chars are stripped BEFORE composition on both engines: DuckDB's
+    `nfc_normalize` returns '' outright for strings that start with NUL and
+    contain any non-ASCII char (utf8proc quirk, caught by
+    tests/test_twin_property.py), so the twins only stay byte-identical if
+    neither side ever feeds NUL into NFC. NFC itself never emits control
+    chars, so nothing needs a second strip."""
+    x = F.regexp_replace(text, _CTRL_RE, "")
+    x = nfc_udf(x)
     x = F.regexp_replace(x, _WS_RE, " ")
     return F.trim(x)
 
 
 def normalize_text_sql(text_sql: str) -> str:
-    """DuckDB twin — byte-identical output."""
+    """DuckDB twin — byte-identical output. NB trim(x, ' '): DuckDB's
+    one-arg trim strips ALL Unicode whitespace (NBSP, U+3000, …) where
+    Spark's trims only ASCII space — a leading NBSP diverged the twins
+    (caught by tests/test_twin_property.py)."""
     return (
-        f"trim(regexp_replace(regexp_replace(nfc_normalize({text_sql}),"
-        f" '{_CTRL_RE}', '', 'g'), '{_WS_RE}', ' ', 'g'))"
+        f"trim(regexp_replace(nfc_normalize(regexp_replace({text_sql},"
+        f" '{_CTRL_RE}', '', 'g')), '{_WS_RE}', ' ', 'g'), ' ')"
     )

@@ -85,8 +85,11 @@ def canonical_url_sql(url_sql: str) -> str:
         f" THEN substr({rest}, length({path}) + 2) ELSE '' END"
     )
     kept = (
-        f"array_to_string(list_sort(list_filter(string_split({query}, '&'),"
-        f" x -> x <> '' AND NOT regexp_matches(x, '{_TRACK_RE}'))), '&')"
+        # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+        # array_join([]) is '' — without it every no-query URL canonicalizes
+        # to NULL (caught by tests/test_twin_property.py)
+        f"coalesce(array_to_string(list_sort(list_filter(string_split({query}, '&'),"
+        f" x -> x <> '' AND NOT regexp_matches(x, '{_TRACK_RE}'))), '&'), '')"
     )
     return (
         f"{prefix} || (CASE WHEN {path} = '' THEN '/' ELSE {path} END)"
