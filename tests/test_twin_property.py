@@ -135,3 +135,41 @@ def test_decontaminate_13gram_parity(spark, texts):
     )
     d = _duck(texts, ngrams_sql("string_split(text, chr(32))", K))
     assert {k: list(v) for k, v in s.items()} == d
+
+
+# --- scrub: three backends (Java regex, Python re, DuckDB RE2) -----------
+
+_scrub_text = st.lists(
+    st.one_of(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=10,
+        ),
+        st.sampled_from(
+            ["badword1", "slur1", "a@b.com", "1.2.3.4", "+1 (23) 456-789"]
+        ),
+    ),
+    max_size=6,
+).map("".join)
+
+
+@given(texts=st.lists(_scrub_text, min_size=1, max_size=12))
+@_SETTINGS
+def test_scrub_three_backend_parity(spark, texts):
+    """scrub_expr (JVM regex), _scrub_series (Python re — the contract
+    oracle), and scrub_oracle_sql (DuckDB RE2) must produce identical
+    bytes on arbitrary ASCII-ish text: the engine-portable-subset claim
+    (functions/scrub.py docstring), hammered instead of assumed."""
+    import pandas as pd
+
+    from isimip_qa_spark.functions.scrub import (
+        _scrub_series,
+        scrub_expr,
+        scrub_oracle_sql,
+    )
+
+    s = _spark_vals(spark, texts, scrub_expr(F.col("text")))
+    d = _duck(texts, scrub_oracle_sql("text"))
+    py = dict(enumerate(_scrub_series(pd.Series(texts, dtype="object"))))
+    assert s == py
+    assert d == py
