@@ -65,6 +65,22 @@ def build_parser() -> argparse.ArgumentParser:
         "under this directory",
     )
     p.add_argument("--export-shards", type=int, default=16)
+    p.add_argument(
+        "--dsir-target", default=None,
+        help="target-domain corpus (parquet with a text column): fit a "
+        "DSIR importance model against it (plans/dsir_artifact.py) and "
+        "save to --dsir-artifact",
+    )
+    p.add_argument(
+        "--dsir-artifact", default=None,
+        help="DSIR model artifact path: loaded if it exists (fingerprint-"
+        "guarded), else fitted from --dsir-target and written here",
+    )
+    p.add_argument(
+        "--dsir-threshold", type=float, default=None,
+        help="with --export-dir: export only kept docs whose DSIR "
+        "logweight reaches this threshold",
+    )
     return p
 
 
@@ -136,12 +152,48 @@ def main(argv=None) -> int:
             spark, pages, cfg, args.output,
             resume=not args.no_resume, cache_base=args.cache,
         )
+    artifact = None
+    if args.dsir_artifact:
+        import os
+
+        from .plans.dsir_artifact import fit_dsir_artifact, load_dsir_artifact
+
+        if os.path.exists(args.dsir_artifact):
+            artifact = load_dsir_artifact(args.dsir_artifact)
+        elif args.dsir_target:
+            artifact = fit_dsir_artifact(
+                pages.select("text"),
+                spark.read.parquet(args.dsir_target).select("text"),
+                args.dsir_artifact,
+            )
+        else:
+            raise SystemExit(
+                "--dsir-artifact does not exist and no --dsir-target to "
+                "fit it from"
+            )
+        summary["dsir_model"] = {
+            "path": args.dsir_artifact,
+            "target_ngrams": artifact["target_ngrams"],
+            "raw_ngrams": artifact["raw_ngrams"],
+        }
+
     if args.export_dir:
         import os
 
         from .plans.export import export_jsonl_shards
 
         kept = spark.read.parquet(os.path.join(args.output, "data"))
+        if args.dsir_threshold is not None:
+            if artifact is None:
+                raise SystemExit("--dsir-threshold needs --dsir-artifact")
+            from pyspark.sql import functions as F
+
+            from .plans.dsir_artifact import dsir_logweight_col
+
+            kept = kept.filter(
+                dsir_logweight_col(artifact, F.col("text"))
+                >= args.dsir_threshold
+            )
         r = export_jsonl_shards(
             kept, args.export_dir, n_shards=args.export_shards
         )
