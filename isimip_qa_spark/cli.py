@@ -67,14 +67,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export-shards", type=int, default=16)
     p.add_argument(
         "--dsir-target", default=None,
-        help="target-domain corpus (parquet with a text column): fit a "
-        "DSIR importance model against it (plans/dsir_artifact.py) and "
-        "save to --dsir-artifact",
+        help="target-domain corpus (parquet with a text column): (re)fit "
+        "a DSIR importance model against it (plans/dsir_artifact.py), "
+        "with the QA run's kept output as the raw pool, and save to "
+        "--dsir-artifact (overwriting any existing file)",
     )
     p.add_argument(
         "--dsir-artifact", default=None,
-        help="DSIR model artifact path: loaded if it exists (fingerprint-"
-        "guarded), else fitted from --dsir-target and written here",
+        help="DSIR model artifact path: fitted and written when "
+        "--dsir-target is given, else loaded (fingerprint-guarded)",
     )
     p.add_argument(
         "--dsir-threshold", type=float, default=None,
@@ -152,20 +153,29 @@ def main(argv=None) -> int:
             spark, pages, cfg, args.output,
             resume=not args.no_resume, cache_base=args.cache,
         )
+    if args.dsir_threshold is not None and not args.export_dir:
+        raise SystemExit("--dsir-threshold only filters --export-dir output")
     artifact = None
     if args.dsir_artifact:
         import os
 
         from .plans.dsir_artifact import fit_dsir_artifact, load_dsir_artifact
 
-        if os.path.exists(args.dsir_artifact):
-            artifact = load_dsir_artifact(args.dsir_artifact)
-        elif args.dsir_target:
+        if args.dsir_target:
+            # an explicit target always (re)fits — loading an existing
+            # file here would silently score against a stale model.
+            # Raw side = the QA run's kept output: the same extracted,
+            # scoped, scrubbed text the threshold filter later scores
+            # (fitting on raw input text would mismatch the score-time
+            # distribution, especially under --from-html).
+            raw_df = spark.read.parquet(os.path.join(args.output, "data"))
             artifact = fit_dsir_artifact(
-                pages.select("text"),
+                raw_df.select("text"),
                 spark.read.parquet(args.dsir_target).select("text"),
                 args.dsir_artifact,
             )
+        elif os.path.exists(args.dsir_artifact):
+            artifact = load_dsir_artifact(args.dsir_artifact)
         else:
             raise SystemExit(
                 "--dsir-artifact does not exist and no --dsir-target to "

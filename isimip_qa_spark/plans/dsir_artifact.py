@@ -25,7 +25,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.fingerprint import KNUTH, MOD31
-from ..queries.dsir import ALPHA, B, Q, _bucket_parts, _score_kernel
+from ..queries.dsir import (
+    ALPHA,
+    B,
+    Q,
+    _flagged_counts,
+    _score_kernel,
+    quantized_logratio,
+)
 
 # model identity: feature hashing + smoothing + quantization constants.
 # A loader rejects an artifact whose fingerprint differs — scoring with a
@@ -35,29 +42,10 @@ MODEL_FINGERPRINT = f"dsir:B={B}:alpha={ALPHA}:q={Q}:knuth={KNUTH}:mod={MOD31}"
 
 def _flagged_count_batches(it):
     """mapInPandas kernel over (is_target, text): per-batch per-bucket
-    target/raw n-gram counts — queries/dsir._count_batches generalized to
-    an explicit boolean column instead of the doc_id carve-out."""
-    import numpy as np
-    import pandas as pd
-
+    target/raw n-gram counts via the shared `_flagged_counts` base
+    (queries/dsir.py) with the explicit boolean column as the flag."""
     for pdf in it:
-        uni, big, doc_idx, same, _ = _bucket_parts(pdf["text"])
-        is_t = pdf["is_target"].to_numpy(dtype=bool)
-        t_uni = is_t[doc_idx]
-        t_big = is_t[doc_idx[:-1][same]]
-        t_cnt = np.bincount(uni[t_uni], minlength=B) + np.bincount(
-            big[t_big], minlength=B
-        )
-        r_cnt = np.bincount(uni[~t_uni], minlength=B) + np.bincount(
-            big[~t_big], minlength=B
-        )
-        yield pd.DataFrame(
-            {
-                "bucket": np.arange(B, dtype=np.int64),
-                "target_cnt": t_cnt.astype(np.int64),
-                "raw_cnt": r_cnt.astype(np.int64),
-            }
-        )
+        yield _flagged_counts(pdf["is_target"].to_numpy(dtype=bool), pdf["text"])
 
 
 def fit_dsir_artifact(
@@ -71,8 +59,6 @@ def fit_dsir_artifact(
     cost is one pass over raw+target regardless of how many buckets. The
     log-ratios are quantized to the dyadic 1/Q grid exactly like the
     oracle-checked query (per-doc score sums stay order-independent)."""
-    import math
-
     flagged = raw.select(
         F.lit(False).alias("is_target"), F.col("text")
     ).unionByName(target.select(F.lit(True).alias("is_target"), F.col("text")))
@@ -94,15 +80,7 @@ def fit_dsir_artifact(
         r_cnt[row["bucket"]] = row["r"]
     t_tot, r_tot = sum(t_cnt), sum(r_cnt)
     lr = [
-        round(
-            (
-                math.log((t_cnt[b] + ALPHA) / (t_tot + ALPHA * B))
-                - math.log((r_cnt[b] + ALPHA) / (r_tot + ALPHA * B))
-            )
-            * Q
-        )
-        / Q
-        for b in range(B)
+        quantized_logratio(t_cnt[b], r_cnt[b], t_tot, r_tot) for b in range(B)
     ]
     artifact = {
         "fingerprint": MODEL_FINGERPRINT,

@@ -144,6 +144,51 @@ model AS (
 """
 
 
+def _flagged_counts(is_t, texts):
+    """Per-batch per-bucket target/raw n-gram counts from an explicit
+    boolean flag array — the single count kernel behind both fits: the
+    oracle-able batch fit (`_count_batches`, flag = the doc_id carve-out)
+    and the artifact fit against a real separate target corpus
+    (plans/dsir_artifact.py, flag = which side of the union a row is)."""
+    import numpy as np
+    import pandas as pd
+
+    uni, big, doc_idx, same, _ = _bucket_parts(texts)
+    t_uni = is_t[doc_idx]
+    t_big = is_t[doc_idx[:-1][same]]
+    t_cnt = np.bincount(uni[t_uni], minlength=B) + np.bincount(
+        big[t_big], minlength=B
+    )
+    r_cnt = np.bincount(uni[~t_uni], minlength=B) + np.bincount(
+        big[~t_big], minlength=B
+    )
+    return pd.DataFrame(
+        {
+            "bucket": np.arange(B, dtype=np.int64),
+            "target_cnt": t_cnt.astype(np.int64),
+            "raw_cnt": r_cnt.astype(np.int64),
+        }
+    )
+
+
+def quantized_logratio(t_cnt: int, r_cnt: int, t_tot: int, r_tot: int) -> float:
+    """Driver-side twin of the smoothed, 1/Q-quantized per-bucket
+    log-likelihood ratio (`_model_df` expr / `_MODEL_CTE` SQL) — the one
+    Python copy of the smoothing formula, shared with the artifact fit."""
+    import math
+
+    return (
+        round(
+            (
+                math.log((t_cnt + ALPHA) / (t_tot + ALPHA * B))
+                - math.log((r_cnt + ALPHA) / (r_tot + ALPHA * B))
+            )
+            * Q
+        )
+        / Q
+    )
+
+
 def _count_batches(it):
     """mapInPandas kernel: per Arrow batch, PRE-AGGREGATED per-bucket
     target/raw n-gram counts (exactly B rows out per batch — the map-side
@@ -151,27 +196,9 @@ def _count_batches(it):
     shuffle therefore carries ≤ B rows per batch no matter how many
     documents the batch holds — the same partials-only discipline as the
     QA metrics sink (plans/sink.py)."""
-    import numpy as np
-    import pandas as pd
-
     for pdf in it:
-        uni, big, doc_idx, same, _ = _bucket_parts(pdf["text"])
         is_t = (pdf["doc_id"].to_numpy() % TARGET_MOD) == 0
-        t_uni = is_t[doc_idx]
-        t_big = is_t[doc_idx[:-1][same]]
-        t_cnt = np.bincount(uni[t_uni], minlength=B) + np.bincount(
-            big[t_big], minlength=B
-        )
-        r_cnt = np.bincount(uni[~t_uni], minlength=B) + np.bincount(
-            big[~t_big], minlength=B
-        )
-        yield pd.DataFrame(
-            {
-                "bucket": np.arange(B, dtype=np.int64),
-                "target_cnt": t_cnt.astype(np.int64),
-                "raw_cnt": r_cnt.astype(np.int64),
-            }
-        )
+        yield _flagged_counts(is_t, pdf["text"])
 
 
 def _model_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,6 +424,12 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     lr = np.array(_logratio_array(spark, sf_dir), dtype=np.float64)
+    return _select_df(spark, sf_dir, lr)
+
+
+def _select_df(spark: SparkSession, sf_dir: str, lr) -> DataFrame:
+    """dsir_select's plan from an already-materialized logratio array —
+    shared with dsir_kl so the model is fitted once, not per caller."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     udf = F.pandas_udf(_score_kernel(lr), "n_grams long, logweight double")
     scored = (
@@ -480,9 +513,22 @@ def dsir_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float contract: the KL sums are Σ over B=1024 terms of products of
     ln() on identical rationals — not dyadic, so cross-engine
     accumulation jitter is ~1e-12 relative; round-to-6 absorbs it (the
-    defensive-rounding convention, queries/__init__.py)."""
-    model = _model_df(spark, sf_dir)
-    sel = dsir_select(spark, sf_dir).select("doc_id")
+    defensive-rounding convention, queries/__init__.py).
+
+    The model is fitted ONCE: the B-row fit is collected, the logratio
+    array feeds `_select_df`, and the same rows are re-created as a tiny
+    local DataFrame for the KL arithmetic — no second counting pass over
+    the corpus."""
+    import numpy as np
+
+    rows = _model_df(spark, sf_dir).collect()  # ONE fit pass, B rows
+    lr = np.zeros(B, dtype=np.float64)
+    for r in rows:
+        lr[r["bucket"]] = r["logratio"]
+    model = spark.createDataFrame(
+        rows, "bucket long, target_cnt long, raw_cnt long, logratio double"
+    )
+    sel = _select_df(spark, sf_dir, lr).select("doc_id")
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     picked = d.join(F.broadcast(sel), "doc_id")
     selcnt = (

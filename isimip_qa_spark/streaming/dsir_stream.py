@@ -60,7 +60,10 @@ def dsir_score_stream(
             safe = pdf["text"].fillna("")
             s = k(safe)
             pdf = pdf.copy()
-            pdf["n_grams"] = s["n_grams"]
+            # NULL text is undecidable: null BOTH outputs (the kernel saw
+            # the '' substitute, whose n_grams=1 would otherwise leak into
+            # the audit as a real single-gram doc)
+            pdf["n_grams"] = s["n_grams"].astype("Int64").where(~null_text)
             pdf["logweight"] = s["logweight"].where(~null_text, other=None)
             yield pdf
 
