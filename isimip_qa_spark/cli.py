@@ -168,7 +168,9 @@ def main(argv=None) -> int:
             # scoped, scrubbed text the threshold filter later scores
             # (fitting on raw input text would mismatch the score-time
             # distribution, especially under --from-html).
-            raw_df = spark.read.parquet(os.path.join(args.output, "data"))
+            raw_df = spark.read.parquet(
+                os.path.join(args.output, "data")
+            ).filter("keep")
             artifact = fit_dsir_artifact(
                 raw_df.select("text"),
                 spark.read.parquet(args.dsir_target).select("text"),
@@ -192,7 +194,11 @@ def main(argv=None) -> int:
 
         from .plans.export import export_jsonl_shards
 
-        kept = spark.read.parquet(os.path.join(args.output, "data"))
+        # the data dir holds EVERY scored page with its keep verdict
+        # (plans/sink.py) — export ships only the kept ones
+        kept = spark.read.parquet(
+            os.path.join(args.output, "data")
+        ).filter("keep")
         if args.dsir_threshold is not None:
             if artifact is None:
                 raise SystemExit("--dsir-threshold needs --dsir-artifact")

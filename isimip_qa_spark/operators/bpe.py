@@ -12,11 +12,16 @@ Physical design — why this scales where naive BPE doesn't:
 - Each iteration is one bounded hash agg (explode adjacent symbol pairs
   weighted by word frequency → sum → top-1 by (count desc, pair asc)) —
   partial-aggregable, 2-symbol keys, the driver receives exactly one row.
-- The merge rewrite is a single `replace` on the space-separated symbol
-  string: ' lhs rhs ' → ' lhsrhs '. Symbols never contain spaces and the
-  representation is space-padded, so plain substring replace cannot match
-  inside a multi-char symbol, and replace-all's leftmost-non-overlapping
-  scan IS BPE's merge order within a word.
+- The merge rewrite is a single `replace` on the symbol string, where
+  EVERY symbol carries its own flanking spaces (' a  b  c ' — adjacent
+  symbols are separated by TWO spaces). The pattern ' lhs  rhs ' →
+  ' lhsrhs ' therefore consumes no neighbour's delimiter: with
+  single-space separation, merging (a,a) in 'a a a a' eats the middle
+  space and stalls at 'aa a a', diverging from canonical BPE; with each
+  symbol self-delimited, replace-all's leftmost-non-overlapping scan
+  yields 'aa aa' — exactly Sennrich's lookaround-regex merge order.
+  Symbols never contain spaces, so the pattern can't match inside a
+  multi-char symbol either.
 - Lineage: n_merges chained replaces grow the plan linearly; the loop
   localCheckpoints the vocab frame every CHECKPOINT_EVERY iterations so
   the optimizer never sees an unbounded expression tree (the standard
@@ -38,8 +43,11 @@ CHECKPOINT_EVERY = 8
 
 
 def spaced_expr(w):
-    """' h e l l o ' — space-padded char-level symbol string."""
-    return F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 "))
+    """' h  e  l  l  o ' — each char symbol wrapped in its own spaces
+    (see module docstring for why double separation matters). `(?s)`
+    makes `.` match newline chars inside words — whitespace tokenization
+    splits only on ' ', so \\n/\\t are legitimate symbols."""
+    return F.regexp_replace(w, "(?s)(.)", " $1 ")
 
 
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -60,7 +68,7 @@ def train_bpe(vocab: DataFrame, n_merges: int) -> list[tuple[str, str]]:
     cur = vocab.select("c", spaced_expr(F.col("w")).alias("rep"))
     merges: list[tuple[str, str]] = []
     for it in range(n_merges):
-        toks = F.split(F.trim(F.col("rep")), " ")
+        toks = F.split(F.trim(F.col("rep")), "  ")
         pairs = F.when(
             F.size(toks) >= 2,
             F.transform(
@@ -87,7 +95,7 @@ def train_bpe(vocab: DataFrame, n_merges: int) -> list[tuple[str, str]]:
         cur = cur.select(
             "c",
             F.replace(
-                F.col("rep"), F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} ")
+                F.col("rep"), F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
             ).alias("rep"),
         )
         if (it + 1) % CHECKPOINT_EVERY == 0:
@@ -99,12 +107,14 @@ def train_bpe_python(vocab: list[tuple[str, int]], n_merges: int):
     """Pure-Python golden reference with identical semantics (pair counts
     over all adjacent positions; replace-all leftmost-non-overlapping
     merge; (count desc, lhs, rhs) tie-break) — the test oracle."""
-    reps = [(" " + " ".join(w) + " ", c) for w, c in vocab]
+    reps = [(" " + "  ".join(w) + " ", c) for w, c in vocab]
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         counts: dict[tuple[str, str], int] = {}
         for rep, c in reps:
-            syms = rep.split()
+            # split on the double separator, NOT .split(): symbols may BE
+            # whitespace chars (\n, \t) that bare split() would swallow
+            syms = rep[1:-1].split("  ")
             for a, b in zip(syms, syms[1:]):
                 counts[(a, b)] = counts.get((a, b), 0) + c
         if not counts:
@@ -115,7 +125,7 @@ def train_bpe_python(vocab: list[tuple[str, int]], n_merges: int):
         )
         merges.append((lhs, rhs))
         reps = [
-            (rep.replace(f" {lhs} {rhs} ", f" {lhs}{rhs} "), c)
+            (rep.replace(f" {lhs}  {rhs} ", f" {lhs}{rhs} "), c)
             for rep, c in reps
         ]
     return merges
@@ -134,11 +144,21 @@ def bpe_counts_via_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     dim = word_vocab(docs, text_col).select(
         "w", bpe_len_expr(F.col("w")).cast("long").alias("n_sub")
     )
+    # NO empty-token filter and a LEFT broadcast join: split() always
+    # yields >= 1 element per doc, so every doc keeps a row even when its
+    # tokens are all empty (text '' / runs of spaces) — the empty tokens
+    # miss the dim (word_vocab excludes them) and price to 0, exactly
+    # matching bpe_segment's bpe_len_expr('') = 0. Row parity costs no
+    # extra exchange this way.
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).filter(F.length("w") > 0)
+    )
     return (
-        toks.join(F.broadcast(dim), "w")
+        toks.join(F.broadcast(dim), "w", "left")
         .groupBy("doc_id")
-        .agg(F.sum("n_sub").alias("n_tok_bpe"))
+        .agg(
+            F.sum(F.coalesce(F.col("n_sub"), F.lit(0).cast("long"))).alias(
+                "n_tok_bpe"
+            )
+        )
     )

@@ -26,10 +26,14 @@ selected corpus to the training stack, which consumes line-delimited JSON
 
 Scale shape (100 TB): ONE exchange keyed on the 8-byte shard id (the
 repartition that makes each shard a contiguous writer task set); JSON
-encode + zstd happen executor-side; the verify pass is a second scan of
+encode + zstd happen executor-side; the source manifest is collected
+DURING the write by an Observation node (per-shard conditional
+aggregates — no re-execution of the upstream plan, which in the
+curation chain includes dedup joins); the verify pass is ONE scan of
 the written shards (unavoidable for read-back integrity — it is the
-cheap, embarrassingly parallel half) feeding an N_SHARDS-key hash agg.
-The driver handles only the 2×N_SHARDS manifest rows. Shard count at
+cheap, embarrassingly parallel half) feeding an N_SHARDS-key hash agg
+that yields the read-back manifest and the misplaced-row count
+together. The driver handles only the 2×N_SHARDS manifest rows. Shard count at
 10^12 docs follows the shard-size rule (shard ≈ fixed bytes ⇒ N grows
 with corpus; the exchange stays balanced because the fingerprint is
 uniform).
@@ -52,6 +56,9 @@ from ..functions import textstats as ts
 from ..functions.fingerprint import rolling_fingerprint_expr
 
 EXPORT_SHARDS = 16
+# above this shard count the write-time Observation (3 aggregate exprs per
+# shard) would bloat the plan; fall back to a separate source manifest pass
+_OBSERVE_MAX = 64
 
 
 @dataclass
@@ -96,23 +103,75 @@ def export_jsonl_shards(
     fp = rolling_fingerprint_expr(ts.tokens_expr(F.col("text")))
     keyed = df.withColumn("shard_id", F.pmod(fp, F.lit(n_shards)))
     data_dir = os.path.join(out_dir, "data")
+
+    # Source manifest: collected DURING the write via an Observation node
+    # (per-shard conditional aggregates), so the upstream plan — which in
+    # the curation chain includes dedup clustering joins — executes ONCE.
+    # 3 aggregate exprs per shard is fine at ordinary shard counts; past
+    # _OBSERVE_MAX we fall back to a separate source aggregation pass.
+    obs = None
+    write_src = keyed.repartition(n_shards, "shard_id")
+    if n_shards <= _OBSERVE_MAX:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        aux = write_src.withColumn(
+            "__fp", rolling_fingerprint_expr(ts.tokens_expr(F.col("text")))
+        ).withColumn("__nt", ts.n_words_expr(F.col("text")))
+        metrics = []
+        for s in range(n_shards):
+            hit = F.col("shard_id") == s
+            metrics += [
+                F.sum(hit.cast("long")).alias(f"d{s}"),
+                F.sum(F.when(hit, F.col("__nt"))).alias(f"t{s}"),
+                F.expr(
+                    f"bit_xor(case when shard_id = {s} then __fp end)"
+                ).alias(f"c{s}"),
+            ]
+        write_src = aux.observe(obs, *metrics).drop("__fp", "__nt")
     (
-        keyed.repartition(n_shards, "shard_id")
-        .write.partitionBy("shard_id")
+        write_src.write.partitionBy("shard_id")
         .option("compression", codec)
         .mode("overwrite")
         .json(data_dir)
     )
-
-    expected = {
-        r.shard_id: (r.n_docs, r.n_tokens, r.checksum)
-        for r in _manifest_df(df, n_shards).collect()
-    }
-    # read-back: shard_id comes from the partition dir, text from the lines
+    if obs is not None:
+        got = obs.get
+        expected = {
+            s: (got[f"d{s}"], got[f"t{s}"], got[f"c{s}"])
+            for s in range(n_shards)
+            if got[f"d{s}"]  # empty shards have no dir and no manifest row
+        }
+    else:
+        expected = {
+            r.shard_id: (r.n_docs, r.n_tokens, r.checksum)
+            for r in _manifest_df(df, n_shards).collect()
+        }
+    # read-back: shard_id comes from the partition dir, text from the
+    # lines. ONE scan yields both integrity checks: the per-shard manifest
+    # AND the count of rows whose dir disagrees with their content shard.
     back = spark.read.json(data_dir)
+    fp2 = rolling_fingerprint_expr(ts.tokens_expr(F.col("text")))
+    back_agg = (
+        back.select(
+            "shard_id",
+            fp2.alias("fp"),
+            ts.n_words_expr(F.col("text")).alias("n_tokens"),
+            (F.col("shard_id") != F.pmod(fp2, F.lit(n_shards)))
+            .cast("long")
+            .alias("misplaced"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.expr("bit_xor(fp)").alias("checksum"),
+            F.sum("misplaced").alias("misplaced"),
+        )
+        .collect()
+    )
     actual = {
-        r.shard_id: (r.n_docs, r.n_tokens, r.checksum)
-        for r in _manifest_df(back, n_shards).collect()
+        r.shard_id: (r.n_docs, r.n_tokens, r.checksum) for r in back_agg
     }
     if actual != expected:
         bad = {
@@ -124,16 +183,7 @@ def export_jsonl_shards(
             f"export integrity check failed for shards {sorted(bad)}: "
             f"expected {expected} got {actual}"
         )
-    # partition-dir shard_id must agree with the recomputed content shard
-    mismatched = (
-        back.filter(
-            F.col("shard_id")
-            != F.pmod(
-                rolling_fingerprint_expr(ts.tokens_expr(F.col("text"))),
-                F.lit(n_shards),
-            )
-        ).count()
-    )
+    mismatched = sum(r.misplaced for r in back_agg)
     if mismatched:
         raise RuntimeError(
             f"{mismatched} rows landed in the wrong shard directory"

@@ -104,8 +104,9 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boundary produced by stratified_split (queries/mixing.py).
 # ---------------------------------------------------------------------------
 
-SPLIT_BUCKETS = 100  # keep in sync with mixing.stratified_split
-TRAIN_BUCKETS = 96  # bucket < 96 → train; 96-97 valid; 98-99 test
+# the REAL split constants, imported so the audited boundary can never
+# drift from the boundary stratified_split actually assigns
+from .mixing import SPLIT_BUCKETS, TRAIN_BUCKETS  # noqa: E402
 
 _LEAK_SQL = f"""
     WITH b AS (

@@ -29,7 +29,7 @@ long-lived crawl store needs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import read_table
@@ -68,7 +68,13 @@ def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RV_SHARDS = 16  # registered-instance width; assignment fn takes any S
 RV_SEED = 271828182845904523  # distinct from minhash's seed: independent family
-RV_COEFFS = universal_coeffs(64, RV_SEED)  # enough for tests' S and S+1
+
+
+def _rv_coeffs(n_shards: int) -> list[tuple[int, int]]:
+    """Per-shard universal-hash coefficients, generated on demand so ANY
+    shard count works (the LCG is prefix-stable: growing S keeps every
+    existing shard's hash, the HRW minimal-reshuffle property)."""
+    return universal_coeffs(n_shards, RV_SEED)
 
 _TOKENS_SQL = "string_split(text, ' ')"
 
@@ -86,7 +92,7 @@ def rendezvous_assign(d: DataFrame, n_shards: int) -> DataFrame:
             ((F.lit(a) * hv + F.lit(b)) % F.lit(MERSENNE31)).alias("w"),
             F.lit(s).cast("int").alias("shard_id"),
         )
-        for s, (a, b) in enumerate(RV_COEFFS[:n_shards])
+        for s, (a, b) in enumerate(_rv_coeffs(n_shards))
     ]
     best = F.array_max(F.array(*entries))
     return d.select(
@@ -98,7 +104,7 @@ def rendezvous_assign(d: DataFrame, n_shards: int) -> DataFrame:
 
 def _rendezvous_sql(n_shards: int) -> str:
     values = ", ".join(
-        f"({s}, {a}, {b})" for s, (a, b) in enumerate(RV_COEFFS[:n_shards])
+        f"({s}, {a}, {b})" for s, (a, b) in enumerate(_rv_coeffs(n_shards))
     )
     return f"""
     WITH h AS (

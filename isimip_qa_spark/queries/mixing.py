@@ -178,7 +178,10 @@ def lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 N_SHARDS = 16  # test-scale; at 10^12 docs this is O(corpus/shard_size)
-SPLIT_BUCKETS = 100  # train/valid/test = <96 / <98 / rest
+SPLIT_BUCKETS = 100  # train/valid/test = <TRAIN / <VALID / rest
+TRAIN_BUCKETS = 96  # bucket < 96 -> train   (imported by the
+VALID_BUCKETS = 98  # bucket < 98 -> valid    split-leakage audit,
+#                     else        -> test     queries/decontaminate.py)
 HOST_QUOTA = 5  # max docs kept per source at test scale
 
 
@@ -228,8 +231,8 @@ def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stratified_split",
     oracle=f"""
     SELECT doc_id, lang,
-           CASE WHEN bucket < 96 THEN 'train'
-                WHEN bucket < 98 THEN 'valid'
+           CASE WHEN bucket < {TRAIN_BUCKETS} THEN 'train'
+                WHEN bucket < {VALID_BUCKETS} THEN 'valid'
                 ELSE 'test' END AS split
     FROM (
       SELECT doc_id, lang,
@@ -253,8 +256,8 @@ def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "lang",
-        F.when(bucket < 96, F.lit("train"))
-        .when(bucket < 98, F.lit("valid"))
+        F.when(bucket < TRAIN_BUCKETS, F.lit("train"))
+        .when(bucket < VALID_BUCKETS, F.lit("valid"))
         .otherwise(F.lit("test"))
         .alias("split"),
     )

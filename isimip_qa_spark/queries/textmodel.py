@@ -397,28 +397,39 @@ BPE_MERGES: list[tuple[str, str]] = [
     ("o", "r"),
     ("i", "n"),
     ("o", "w"),
-    ("a", "n"),
-    ("t", "h"),
-    ("th", "e"),
-    ("er", "s"),
+    ("s", "t"),
+    ("l", "u"),
+    ("a", "r"),
+    ("p", "ar"),
 ]
 
 
 def bpe_len_expr(w: Column) -> Column:
-    """Subword count of one word under BPE_MERGES — pure column exprs."""
-    rep = F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 "))
+    """Subword count of one word under BPE_MERGES — pure column exprs.
+    Representation is the double-separated symbol string of
+    operators/bpe.py `spaced_expr` (each symbol self-delimited, so
+    replace-all merges adjacent occurrences like canonical BPE); `(?s)`
+    keeps \\n/\\t chars as real symbols. Empty word → 0 subwords."""
+    rep = F.regexp_replace(w, "(?s)(.)", " $1 ")
     for lhs, rhs in BPE_MERGES:
         rep = F.replace(
-            rep, F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} ")
+            rep, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
         )
-    return F.size(F.split(F.trim(rep), " "))
+    return F.when(
+        F.length(w) > 0, F.size(F.split(F.trim(rep), "  "))
+    ).otherwise(F.lit(0))
 
 
 def _bpe_len_sql(w_sql: str) -> str:
-    rep = f"' ' || regexp_replace({w_sql}, '(.)', '\\1 ', 'g')"
+    """DuckDB twin of bpe_len_expr — explicit space-only trim (DuckDB's
+    default trim strips Unicode whitespace, which would eat \\n symbols)."""
+    rep = f"regexp_replace({w_sql}, '(.)', ' \\1 ', 'gs')"
     for lhs, rhs in BPE_MERGES:
-        rep = f"replace({rep}, ' {lhs} {rhs} ', ' {lhs}{rhs} ')"
-    return f"len(string_split(trim({rep}), ' '))"
+        rep = f"replace({rep}, ' {lhs}  {rhs} ', ' {lhs}{rhs} ')"
+    return (
+        f"(case when len({w_sql}) > 0 "
+        f"then len(string_split(trim({rep}, ' '), '  ')) else 0 end)"
+    )
 
 
 @register(

@@ -67,17 +67,39 @@ def test_first_merge_is_top_pair_statistic(spark):
 def test_segment_lengths(spark):
     rows = (
         spark.createDataFrame(
-            [("the",), ("error",), ("x",), ("inward",)], "w string"
+            [("error",), ("x",), ("inward",), ("erer",), ("",)], "w string"
         )
         .select(bpe_len_expr(F.col("w")).alias("n"))
         .collect()
     )
-    # the: t h e -(t,h)-> th e -(th,e)-> the = 1
     # error: e r r o r -(e,r)-> er r o r -(o,r)-> er r or = 3
     # x: single char = 1
-    # inward: i n w a r d -(i,n)-> in w a r d -(a,n)? no ' a n ' absent
-    #         -> in w a r d = 5
-    assert [r.n for r in rows] == [1, 3, 1, 5]
+    # inward: i n w a r d -(i,n)-> in w a r d -(a,r)-> in w ar d = 4
+    # erer: e r e r -(e,r)-> er er = 2  (ADJACENT occurrences must both
+    #       merge — the single-space representation stalled at 'er e r')
+    # '': empty token prices to 0 (matches the via-vocab dim path)
+    assert [r.n for r in rows] == [3, 1, 4, 2, 0]
+
+
+def test_adjacent_and_whitespace_symbol_merges(spark):
+    """Canonical-BPE regression cases: runs of the same pair ('aaaa' with
+    (a,a) -> 'aa aa', never 'aa a a') and words containing newline chars
+    (the (?s) dotall: '\\n' is a real symbol, not dropped)."""
+    from isimip_qa_spark.operators.bpe import train_bpe, train_bpe_python
+
+    v = [("aaaa", 10), ("aa", 3)]
+    df = spark.createDataFrame(v, "w string, c long")
+    got = train_bpe(df, 2)
+    assert got == train_bpe_python(v, 2)
+    # first merge is (a,a) with count 10*3+3*1 = 33 (three adjacent pairs
+    # in 'aaaa'); after a leftmost-greedy rewrite 'aaaa'-> 'aa aa' the
+    # second merge must be (aa, aa) — the stalled rewrite 'aa a a' would
+    # pick (aa, a) instead
+    assert got == [("a", "a"), ("aa", "aa")]
+
+    vn = [("a\nb", 5), ("a\nb\nb", 2)]
+    dfn = spark.createDataFrame(vn, "w string, c long")
+    assert train_bpe(dfn, 3) == train_bpe_python(vn, 3)
 
 
 def test_bpe_segment_zero_shuffle(spark):

@@ -100,15 +100,18 @@ def test_cli_fits_model_and_filters_export(spark, tmp_path):
     assert os.path.exists(model)
     art = load_dsir_artifact(model)
     assert len(art["logratio"]) == 1024
-    # permissive threshold ⇒ export equals the unfiltered kept set
-    kept_n = spark.read.parquet(f"{out}/data").count()
+    # permissive threshold ⇒ export equals the kept set exactly — and
+    # ONLY the kept set (the data dir also stores the keep=False rows)
+    scored_all = spark.read.parquet(f"{out}/data")
+    kept_n = scored_all.filter("keep").count()
+    assert kept_n < scored_all.count()  # fixture drops some pages
     exported = spark.read.json(f"{exp}/data")
     assert exported.count() == kept_n
 
     # second run with a real threshold: export strictly shrinks, and every
     # surviving doc scores above it
     exp2 = str(tmp_path / "export2")
-    kept = spark.read.parquet(f"{out}/data")
+    kept = scored_all.filter("keep")
     scored = score_with_artifact(kept, art)
     med = scored.approxQuantile("dsir_logweight", [0.5], 0.0)[0]
     rc = main(

@@ -84,3 +84,15 @@ def test_shard_balance(spark):
     assert len(counts) == RV_SHARDS  # every shard populated at n=500
     # uniform hash: expect ~31 +- Poisson; catch gross imbalance only
     assert max(counts.values()) <= 4 * min(counts.values()), counts
+
+
+def test_large_shard_count_not_capped(spark):
+    """S > 64 must actually use S shards (a fixed coefficient table once
+    silently capped assignment at 64 shards — regression guard)."""
+    assign = _assign(spark, 100)
+    used = set(assign.values())
+    assert max(used) >= 64, sorted(used)[-5:]  # shards beyond the old cap
+    # prefix stability: growing 16 -> 100 still only moves docs INTO new shards
+    before = _assign(spark, RV_SHARDS)
+    moved = {k for k in before if before[k] != assign[k]}
+    assert all(assign[k] >= RV_SHARDS for k in moved)
