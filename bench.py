@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "split_leakage",
     "cluster_size_hist",
     "bpe_segment",
+    "bpe_fertility",
     "dsir_weights",
     "dsir_select",
     "decontaminate_fuzzy",

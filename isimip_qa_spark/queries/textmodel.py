@@ -466,3 +466,62 @@ def bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("n_tok_bpe"),
     ).orderBy("doc_id")
+
+
+_BPE_DOC_SQL = (
+    f"list_sum(list_transform({_TOKENS_SQL}, w -> {_bpe_len_sql('w')}))"
+)
+
+
+@register(
+    "bpe_fertility",
+    oracle=f"""
+    SELECT lang,
+           sum(len({_TOKENS_SQL}))::BIGINT AS n_tok_ws,
+           sum({_BPE_DOC_SQL})::BIGINT AS n_tok_bpe,
+           round(sum({_BPE_DOC_SQL})::DOUBLE
+                 / sum(len({_TOKENS_SQL})), 6) AS fertility
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subwords emitted per whitespace
+    word under the shipped merge list — THE number multilingual pipelines
+    tune vocab allocation by (fertility >> 1 in a language means the
+    tokenizer fragments it, silently inflating that language's training
+    cost per effective token; cf. the analyses around mBERT/XLM-R vocab
+    sizing).
+
+    Scale shape: bpe_segment's zero-shuffle per-doc fold collapsing into a
+    <= |langs|-key hash agg — partial-aggregable, corpus scanned once,
+    nothing but (lang, two int64 partials) ever shuffles. Float contract:
+    exact int64 sums, ONE final IEEE division per lang (identical both
+    engines), round-to-6 defensive."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = ts.tokens_expr(F.col("text"))
+    per_doc_bpe = F.aggregate(
+        F.transform(toks, lambda w: bpe_len_expr(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        d.select(
+            "lang",
+            F.size(toks).cast("long").alias("ws"),
+            per_doc_bpe.alias("nb"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("ws").alias("n_tok_ws"),
+            F.sum("nb").alias("n_tok_bpe"),
+        )
+        .select(
+            "lang",
+            "n_tok_ws",
+            "n_tok_bpe",
+            F.round(F.col("n_tok_bpe") / F.col("n_tok_ws"), 6).alias(
+                "fertility"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -126,3 +126,40 @@ def test_dim_path_equals_expr_path(spark):
     assert via_dim == via_expr
     plan = plan_of(bpe_counts_via_vocab(docs))
     assert "BroadcastHashJoin" in plan
+
+
+def _sennrich_len(word: str, merges) -> int:
+    """Canonical BPE merge application (Sennrich et al. 2016 reference
+    implementation's lookaround-regex form) — an INDEPENDENT semantic
+    anchor: our replace-on-self-delimited-symbols must agree with it.
+    (Single-space representation here, so restricted to words without
+    whitespace-class chars — the canonical form is ambiguous on those.)"""
+    import re
+
+    if not word:
+        return 0
+    rep = " ".join(word)
+    for lhs, rhs in merges:
+        pat = re.compile(
+            r"(?<!\S)" + re.escape(lhs + " " + rhs) + r"(?!\S)"
+        )
+        rep = pat.sub(lhs + rhs, rep)
+    return len(rep.split(" "))
+
+
+def test_segmentation_matches_canonical_sennrich(spark):
+    from isimip_qa_spark.queries.textmodel import BPE_MERGES
+
+    words = [
+        "erer", "ererer", "oror", "stst", "parpar", "lululu",
+        "error", "inward", "stopwords", "lurid", "particular",
+        "x", "paar", "arar", "stlu", "erst", "paren",
+    ]
+    got = {
+        r.w: r.n
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", bpe_len_expr(F.col("w")).alias("n"))
+        .collect()
+    }
+    want = {w: _sennrich_len(w, BPE_MERGES) for w in words}
+    assert got == want

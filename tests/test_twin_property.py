@@ -173,3 +173,28 @@ def test_scrub_three_backend_parity(spark, texts):
     py = dict(enumerate(_scrub_series(pd.Series(texts, dtype="object"))))
     assert s == py
     assert d == py
+
+
+# words for the BPE twin: include merge-list chars so replaces actually
+# fire, plus arbitrary unicode and whitespace-class chars (the dotall +
+# double-separator representation must agree on \n/\t symbols too)
+_word = st.text(
+    alphabet=st.one_of(
+        st.sampled_from(list("erorinowstluap")),  # BPE_MERGES alphabet
+        st.characters(codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFF),
+        st.sampled_from(["\n", "\t"]),
+    ),
+    max_size=12,
+).map(lambda w: w.replace(" ", ""))  # words are space-free by construction
+
+
+@given(words=st.lists(_word, min_size=1, max_size=12))
+@_SETTINGS
+def test_bpe_len_parity(spark, words):
+    """bpe_len_expr vs _bpe_len_sql on arbitrary words (incl. '', adjacent
+    merge runs like 'erer', and newline/tab symbols)."""
+    from isimip_qa_spark.queries.textmodel import _bpe_len_sql, bpe_len_expr
+
+    s = _spark_vals(spark, words, bpe_len_expr(F.col("text")))
+    d = _duck(words, _bpe_len_sql("text"))
+    assert s == d
