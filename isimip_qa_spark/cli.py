@@ -99,12 +99,26 @@ def _parse_window(tok: str | None):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # validate flag combinations BEFORE any compute: a typo must not cost
+    # the full QA run
     if args.export_dir and (args.windows or args.cohorts):
         raise SystemExit(
             "--export-dir exports a single run's kept set; for a grid, "
             "export each combo's <output>/<window>/<cohort>/<hash> dir "
             "in a separate invocation"
         )
+    if args.dsir_target and (args.windows or args.cohorts):
+        raise SystemExit(
+            "--dsir-target fits against a single run's kept output; a "
+            "grid writes only per-combo dirs — fit from one combo's dir "
+            "in a separate invocation"
+        )
+    if args.dsir_target and not args.dsir_artifact:
+        raise SystemExit("--dsir-target needs --dsir-artifact to save to")
+    if args.dsir_threshold is not None and not args.export_dir:
+        raise SystemExit("--dsir-threshold only filters --export-dir output")
+    if args.dsir_threshold is not None and not args.dsir_artifact:
+        raise SystemExit("--dsir-threshold needs --dsir-artifact")
 
     from pyspark.sql import SparkSession
 
@@ -153,8 +167,16 @@ def main(argv=None) -> int:
             spark, pages, cfg, args.output,
             resume=not args.no_resume, cache_base=args.cache,
         )
-    if args.dsir_threshold is not None and not args.export_dir:
-        raise SystemExit("--dsir-threshold only filters --export-dir output")
+
+    def kept_df():
+        # the data dir holds EVERY scored page with its keep verdict
+        # (plans/sink.py); downstream consumers see only the kept ones
+        import os
+
+        return spark.read.parquet(
+            os.path.join(args.output, "data")
+        ).filter("keep")
+
     artifact = None
     if args.dsir_artifact:
         import os
@@ -168,11 +190,8 @@ def main(argv=None) -> int:
             # scoped, scrubbed text the threshold filter later scores
             # (fitting on raw input text would mismatch the score-time
             # distribution, especially under --from-html).
-            raw_df = spark.read.parquet(
-                os.path.join(args.output, "data")
-            ).filter("keep")
             artifact = fit_dsir_artifact(
-                raw_df.select("text"),
+                kept_df().select("text"),
                 spark.read.parquet(args.dsir_target).select("text"),
                 args.dsir_artifact,
             )
@@ -194,14 +213,8 @@ def main(argv=None) -> int:
 
         from .plans.export import export_jsonl_shards
 
-        # the data dir holds EVERY scored page with its keep verdict
-        # (plans/sink.py) — export ships only the kept ones
-        kept = spark.read.parquet(
-            os.path.join(args.output, "data")
-        ).filter("keep")
+        kept = kept_df()
         if args.dsir_threshold is not None:
-            if artifact is None:
-                raise SystemExit("--dsir-threshold needs --dsir-artifact")
             from pyspark.sql import functions as F
 
             from .plans.dsir_artifact import dsir_logweight_col

@@ -95,13 +95,22 @@ def export_jsonl_shards(
     n_shards: int = EXPORT_SHARDS,
     codec: str = "gzip",
 ) -> ExportResult:
-    """Write `df` (must carry a `text` column; every other column is
-    exported alongside it) as `out_dir/data/shard_id=K/*.json.<codec>` and
-    a verified `out_dir/manifest.json`. Raises RuntimeError if the
-    read-back manifest of ANY shard disagrees with the source manifest."""
+    """Write `df` (must carry a NON-NULL `text` column; every other column
+    is exported alongside it) as `out_dir/data/shard_id=K/*.json.<codec>`
+    and a verified `out_dir/manifest.json`. Raises RuntimeError if the
+    read-back manifest of ANY shard disagrees with the source manifest,
+    or if any row has NULL text (no content fingerprint ⇒ no shard)."""
     spark = df.sparkSession
-    fp = rolling_fingerprint_expr(ts.tokens_expr(F.col("text")))
-    keyed = df.withColumn("shard_id", F.pmod(fp, F.lit(n_shards)))
+    # fingerprint + token count computed ONCE, pre-shuffle: shard_id
+    # derives from __fp, and both ride the exchange as 16 bytes/row so
+    # the Observation never re-tokenizes the document text
+    keyed = (
+        df.withColumn(
+            "__fp", rolling_fingerprint_expr(ts.tokens_expr(F.col("text")))
+        )
+        .withColumn("shard_id", F.pmod(F.col("__fp"), F.lit(n_shards)))
+        .withColumn("__nt", ts.n_words_expr(F.col("text")))
+    )
     data_dir = os.path.join(out_dir, "data")
 
     # Source manifest: collected DURING the write via an Observation node
@@ -110,15 +119,14 @@ def export_jsonl_shards(
     # 3 aggregate exprs per shard is fine at ordinary shard counts; past
     # _OBSERVE_MAX we fall back to a separate source aggregation pass.
     obs = None
-    write_src = keyed.repartition(n_shards, "shard_id")
+    write_src = keyed
     if n_shards <= _OBSERVE_MAX:
         from pyspark.sql import Observation
 
         obs = Observation()
-        aux = write_src.withColumn(
-            "__fp", rolling_fingerprint_expr(ts.tokens_expr(F.col("text")))
-        ).withColumn("__nt", ts.n_words_expr(F.col("text")))
-        metrics = []
+        metrics = [
+            F.sum(F.col("__fp").isNull().cast("long")).alias("nulls")
+        ]
         for s in range(n_shards):
             hit = F.col("shard_id") == s
             metrics += [
@@ -128,15 +136,18 @@ def export_jsonl_shards(
                     f"bit_xor(case when shard_id = {s} then __fp end)"
                 ).alias(f"c{s}"),
             ]
-        write_src = aux.observe(obs, *metrics).drop("__fp", "__nt")
+        write_src = write_src.observe(obs, *metrics)
     (
-        write_src.write.partitionBy("shard_id")
+        write_src.repartition(n_shards, "shard_id")
+        .drop("__fp", "__nt")
+        .write.partitionBy("shard_id")
         .option("compression", codec)
         .mode("overwrite")
         .json(data_dir)
     )
     if obs is not None:
         got = obs.get
+        n_null = got["nulls"] or 0
         expected = {
             s: (got[f"d{s}"], got[f"t{s}"], got[f"c{s}"])
             for s in range(n_shards)
@@ -145,8 +156,16 @@ def export_jsonl_shards(
     else:
         expected = {
             r.shard_id: (r.n_docs, r.n_tokens, r.checksum)
-            for r in _manifest_df(df, n_shards).collect()
+            for r in _manifest_df(keyed, n_shards).collect()
         }
+        n_null = sum(v[0] for k, v in expected.items() if k is None)
+        expected.pop(None, None)
+    if n_null:
+        raise RuntimeError(
+            f"{n_null} rows have NULL text (no content fingerprint) — "
+            "a training-shard export cannot place or verify them; filter "
+            "null-text rows before exporting"
+        )
     # read-back: shard_id comes from the partition dir, text from the
     # lines. ONE scan yields both integrity checks: the per-shard manifest
     # AND the count of rows whose dir disagrees with their content shard.

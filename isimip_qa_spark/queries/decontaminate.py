@@ -106,7 +106,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the REAL split constants, imported so the audited boundary can never
 # drift from the boundary stratified_split actually assigns
-from .mixing import SPLIT_BUCKETS, TRAIN_BUCKETS  # noqa: E402
+from .mixing import SPLIT_BUCKETS, TRAIN_BUCKETS, VALID_BUCKETS  # noqa: E402
 
 _LEAK_SQL = f"""
     WITH b AS (
@@ -126,7 +126,7 @@ _LEAK_SQL = f"""
       WHERE bucket < {TRAIN_BUCKETS} AND ng IN (SELECT ng FROM hg)
     )
     SELECT hg.doc_id AS doc_id,
-           CASE WHEN hg.bucket < {TRAIN_BUCKETS + 2} THEN 'valid'
+           CASE WHEN hg.bucket < {VALID_BUCKETS} THEN 'valid'
                 ELSE 'test' END AS split,
            count(*)::BIGINT AS n_leaked
     FROM hg JOIN tmatched USING (ng)
@@ -185,7 +185,7 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_leaked"))
         .select(
             "doc_id",
-            F.when(F.col("bucket") < TRAIN_BUCKETS + 2, "valid")
+            F.when(F.col("bucket") < VALID_BUCKETS, "valid")
             .otherwise("test")
             .alias("split"),
             "n_leaked",

@@ -97,3 +97,15 @@ def test_export_layout_stable(spark, tmp_path):
         export_jsonl_shards(d, out, n_shards=8)
         m.append(json.load(open(os.path.join(out, "manifest.json"))))
     assert m[0] == m[1]
+
+
+def test_export_rejects_null_text(spark, tmp_path):
+    """NULL text has no content fingerprint: the export must fail with an
+    explicit message, not a cryptic shard-manifest mismatch."""
+    import pytest
+
+    d = spark.createDataFrame(
+        [(1, "real doc text"), (2, None)], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="NULL text"):
+        export_jsonl_shards(d, str(tmp_path / "out"), n_shards=4)
