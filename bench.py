@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "extract_text",
     "quality_classifier",
     "ngram_lm_train",
+    "lm_bigram_top",
+    "ppl_stupid_backoff",
+    "host_pagerank",
     "quality_train_nb",
     "corpus_datasheet",
     "doclen_histogram",

@@ -47,7 +47,9 @@ def load_all() -> None:
         evaluation,
         extract,
         extras,
+        graph,
         layout,
+        lm,
         mixing,
         packing,
         reference_ops,
