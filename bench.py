@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "lm_bigram_top",
     "ppl_stupid_backoff",
     "host_pagerank",
+    "cluster_balanced_sample",
     "quality_train_nb",
     "corpus_datasheet",
     "doclen_histogram",

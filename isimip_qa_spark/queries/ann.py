@@ -627,3 +627,87 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_pairs(
         e, [r["vec_id"] for r in crows], [list(r["v"]) for r in crows]
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced sampling (the DataComp/DoReMi-shaped diversity quota):
+# after clustering, take an equal per-cluster quota of the most prototypical
+# members (highest cosine to the assigned centroid, ties → lower vec_id) so
+# no head cluster dominates the training mix. Assignment is the same
+# broadcast-centroid Arrow kernel as `ann_ivf_topk` (map-side, no shuffle);
+# the ONLY shuffle is the per-cell top-k window, keyed on the cell id — at
+# production K (~50-100k clusters, the SemDeDup regime) cells are plentiful
+# and bounded (corpus/K rows each); if a cell ever outgrows a task, the
+# local-top-k pre-aggregation (host_quota_sample's relaxation) applies
+# unchanged. The recomputed centroid similarity uses the same left-to-right
+# IEEE fold as the kernel's argmax, so "the sim that ranked the doc" and
+# "the sim in the output" can never disagree.
+# ---------------------------------------------------------------------------
+
+SAMPLE_QUOTA = 8  # per-cluster keep count
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_D_SQL} AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}),
+    asg AS (
+      SELECT vec_id, cid, sim,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS r
+      FROM (
+        SELECT e.vec_id, c.cid,
+               {_dot_sql('e.v', 'c.cv')} /
+                 (sqrt({_dot_sql('e.v', 'e.v')}) * sqrt({_dot_sql('c.cv', 'c.cv')})) AS sim
+        FROM e CROSS JOIN c
+      )
+    ),
+    cells AS (SELECT vec_id, cid AS cell, sim FROM asg WHERE r = 1)
+    SELECT cell, vec_id, rank, round(sim, 6) AS sim FROM (
+      SELECT cell, vec_id, sim,
+             row_number() OVER (PARTITION BY cell ORDER BY sim DESC, vec_id)
+               AS rank
+      FROM cells
+    ) WHERE rank <= {SAMPLE_QUOTA}
+    """,
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, vec_id, rank, sim): the {SAMPLE_QUOTA} most-prototypical
+    members of every cluster under the deterministic coarse quantizer
+    (swap in operators/kmeans.py centroids for a trained production run)."""
+    e = _emb(spark, sf_dir)
+    crows = (
+        e.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    cids = [r["vec_id"] for r in crows]
+    cvecs = [list(r["v"]) for r in crows]
+    cdf = spark.createDataFrame(
+        list(zip(cids, cvecs)), "cell long, cv array<double>"
+    )
+    sims = (
+        e.withColumn("cell", _ivf_probe_udf(F.col("v"), cids, cvecs, 1).getItem(0))
+        .join(F.broadcast(cdf), "cell")
+        .select(
+            "cell",
+            "vec_id",
+            (
+                _dot(F.col("v"), F.col("cv"))
+                / (
+                    F.sqrt(_dot(F.col("v"), F.col("v")))
+                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SAMPLE_QUOTA)
+        .select("cell", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+    )

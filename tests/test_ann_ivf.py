@@ -49,3 +49,35 @@ def test_probe_order_and_ties():
 def test_empty_batch():
     out = _ivf_probe_series(pd.Series([], dtype="object"), [1], [[1.0] * 8], 1)
     assert len(out) == 0
+
+
+def test_cluster_balanced_sample(spark, sf_dir):
+    from collections import Counter
+
+    from isimip_qa_spark.queries.ann import (
+        SAMPLE_QUOTA,
+        cluster_balanced_sample,
+    )
+
+    df = cluster_balanced_sample(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    # quota held per cell, ranks contiguous from 1, members unique
+    by_cell = Counter(r["cell"] for r in rows)
+    assert max(by_cell.values()) <= SAMPLE_QUOTA
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    for cell, n in by_cell.items():
+        got = sorted(r["rank"] for r in rows if r["cell"] == cell)
+        assert got == list(range(1, n + 1))
+    # within a cell, rank order follows sim (desc) with vec_id tiebreak
+    for cell in by_cell:
+        seq = sorted(
+            ((r["rank"], -r["sim"], r["vec_id"]) for r in rows if r["cell"] == cell)
+        )
+        assert [s[1:] for s in seq] == sorted(s[1:] for s in seq)
+    # plan: assignment is map-side; the only join is the broadcast centroid
+    # lookup and the only shuffle funnel is the per-cell window
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
