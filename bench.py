@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "ppl_stupid_backoff",
     "host_pagerank",
     "cluster_balanced_sample",
+    "quality_nb_score",
+    "nb_f1",
     "quality_train_nb",
     "corpus_datasheet",
     "doclen_histogram",

@@ -327,6 +327,180 @@ def quality_train_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# NB inference + F1 — closing the quality_train_nb loop. quality_nb_score
+# applies the trained per-bucket class-conditional table as a per-document
+# log-odds sum; nb_f1 reports the distillation quality against the teacher
+# (the heuristic Gopher gate) in exactly the north-star's metric shape
+# (keep/drop F1). Scale shape: the model is N_BUCKETS rows — broadcast; the
+# per-doc sum is ONE exchange keyed on doc_id (the label rides the explode
+# as one boolean per token row, so the corpus is scanned once and never
+# joined back to itself). Determinism: per-bucket log-odds are dyadic-
+# quantized (1/Q, the DSIR recipe) so per-doc sums are order-independent
+# and the keep decision (sum > 0) compares an EXACT value on both engines.
+# ---------------------------------------------------------------------------
+
+_NBQ = 1024  # dyadic grid for per-bucket log-odds
+
+
+def _nb_score_sql() -> str:
+    from .webtext import _GOPHER_SQL
+
+    th = token_hash_sql("t")
+    return f"""
+    WITH lbl AS (SELECT doc_id, keep FROM ({_GOPHER_SQL}) g),
+    tok AS (
+      SELECT l.keep, unnest({_TOKENS_SQL}) AS t
+      FROM documents d JOIN lbl l ON d.doc_id = l.doc_id
+    ),
+    bk AS (
+      SELECT ({th}) % {N_BUCKETS} AS bucket,
+             sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+             sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_drop
+      FROM tok GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_keep)::BIGINT AS t_keep,
+                   sum(n_drop)::BIGINT AS t_drop FROM bk),
+    model AS (
+      SELECT bucket,
+             round((ln((n_keep + {_SMOOTH})::DOUBLE / (t_keep + {_SMOOTH * N_BUCKETS}))
+                  - ln((n_drop + {_SMOOTH})::DOUBLE / (t_drop + {_SMOOTH * N_BUCKETS})))
+                   * {_NBQ}) / {_NBQ} AS lo
+      FROM bk CROSS JOIN tot
+    ),
+    prior AS (
+      SELECT round((ln((sum(CASE WHEN keep THEN 1 ELSE 0 END) + 1)::DOUBLE / (count(*) + 2))
+                  - ln((sum(CASE WHEN keep THEN 0 ELSE 1 END) + 1)::DOUBLE / (count(*) + 2)))
+                   * {_NBQ}) / {_NBQ} AS lo0
+      FROM lbl
+    ),
+    doctok AS (
+      SELECT l.doc_id, l.keep, ({th}) % {N_BUCKETS} AS bucket
+      FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents) d
+      JOIN lbl l ON d.doc_id = l.doc_id
+    ),
+    sc AS (
+      SELECT doc_id, max(keep) AS heur_keep, sum(m.lo) AS s
+      FROM doctok JOIN model m USING (bucket) GROUP BY doc_id
+    )
+    SELECT sc.doc_id, round(p.lo0 + sc.s, 6) AS nb_logodds,
+           (p.lo0 + sc.s) > 0 AS nb_keep, sc.heur_keep
+    FROM sc CROSS JOIN prior p
+"""
+
+
+def _nb_score_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+
+    def _q(x: Column) -> Column:
+        return F.round(x * _NBQ) / _NBQ
+
+    d = _SMOOTH * N_BUCKETS
+    model = (
+        quality_train_nb(spark, sf_dir)
+        .select("bucket", _q(F.log("p_keep") - F.log("p_drop")).alias("lo"))
+    )
+    lbl = docs.select(ts.keep_expr(text).alias("keep"))
+    prior = lbl.agg(
+        _q(
+            F.log(
+                (F.sum(F.when(F.col("keep"), 1).otherwise(0)) + 1).cast("double")
+                / (F.count("*") + 2)
+            )
+            - F.log(
+                (F.sum(F.when(F.col("keep"), 0).otherwise(1)) + 1).cast("double")
+                / (F.count("*") + 2)
+            )
+        ).alias("lo0")
+    )
+    ex = docs.select(
+        "doc_id",
+        ts.keep_expr(text).alias("keep"),
+        F.explode(ts.tokens_expr(text)).alias("t"),
+    ).select(
+        "doc_id",
+        "keep",
+        (token_hash_expr(F.col("t")) % F.lit(N_BUCKETS)).alias("bucket"),
+    )
+    sc = (
+        ex.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(F.max("keep").alias("heur_keep"), F.sum("lo").alias("s"))
+    )
+    total = F.col("lo0") + F.col("s")
+    return sc.crossJoin(F.broadcast(prior)).select(
+        "doc_id",
+        F.round(total, 6).alias("nb_logodds"),
+        (total > 0).alias("nb_keep"),
+        "heur_keep",
+    )
+
+
+@register("quality_nb_score", _nb_score_sql())
+def quality_nb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, nb_logodds, nb_keep, heur_keep): every document scored by
+    the trained NB table (prior + summed per-bucket log-odds; ln p_keep/
+    p_drop recomputed from the trainer's OWN p columns, so trainer and
+    scorer can never disagree about the model)."""
+    return _nb_score_df(spark, sf_dir)
+
+
+@register(
+    "nb_f1",
+    oracle=f"""
+    WITH scored AS ({_nb_score_sql()})
+    SELECT tp, fp, fn, tn,
+           round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision,
+           round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall,
+           round(CAST(2 * tp AS DOUBLE) / nullif(2 * tp + fp + fn, 0), 6) AS f1
+    FROM (
+      SELECT sum(CASE WHEN nb_keep AND heur_keep THEN 1 ELSE 0 END)::BIGINT AS tp,
+             sum(CASE WHEN nb_keep AND NOT heur_keep THEN 1 ELSE 0 END)::BIGINT AS fp,
+             sum(CASE WHEN NOT nb_keep AND heur_keep THEN 1 ELSE 0 END)::BIGINT AS fn,
+             sum(CASE WHEN NOT nb_keep AND NOT heur_keep THEN 1 ELSE 0 END)::BIGINT AS tn
+      FROM scored
+    )
+    """,
+)
+def nb_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: NB-vs-heuristic confusion counts + precision/recall/F1 —
+    the distillation-quality report in the north-star's own metric (the
+    trained gate must track the teacher's keep/drop). One conditional hash
+    agg over the scored output; the corpus never shuffles twice."""
+    s = _nb_score_df(spark, sf_dir)
+    agg = s.agg(
+        F.sum(F.when(F.col("nb_keep") & F.col("heur_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("nb_keep") & ~F.col("heur_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~F.col("nb_keep") & F.col("heur_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~F.col("nb_keep") & ~F.col("heur_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.expr("CAST(tp AS DOUBLE) / nullif(tp + fp, 0)"), 6
+        ).alias("precision"),
+        F.round(
+            F.expr("CAST(tp AS DOUBLE) / nullif(tp + fn, 0)"), 6
+        ).alias("recall"),
+        F.round(
+            F.expr("CAST(2 * tp AS DOUBLE) / nullif(2 * tp + fp + fn, 0)"), 6
+        ).alias("f1"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE merge candidates — the first training iteration of byte-pair
 # encoding (Sennrich et al. 2016): adjacent character-pair frequencies.

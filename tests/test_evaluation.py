@@ -89,3 +89,29 @@ def test_auc_window_is_post_aggregation(spark):
     w = plan.index("Window")
     assert "HashAggregate" in plan[w:]  # aggregate feeds the window
     assert plan.count("Scan parquet") == 1  # one corpus scan total
+
+
+def test_nb_f1_consistent_with_scores(spark, sf_dir):
+    """nb_f1's one-row confusion must equal the confusion recomputed from
+    the per-doc quality_nb_score output, and F1 must match its formula."""
+    from isimip_qa_spark.queries.textmodel import nb_f1, quality_nb_score
+
+    rows = quality_nb_score(spark, sf_dir).collect()
+    assert rows
+    tp = sum(1 for r in rows if r["nb_keep"] and r["heur_keep"])
+    fp = sum(1 for r in rows if r["nb_keep"] and not r["heur_keep"])
+    fn = sum(1 for r in rows if not r["nb_keep"] and r["heur_keep"])
+    tn = sum(1 for r in rows if not r["nb_keep"] and not r["heur_keep"])
+    got = nb_f1(spark, sf_dir).collect()[0]
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (tp, fp, fn, tn)
+    assert got["f1"] == round(2 * tp / (2 * tp + fp + fn), 6)
+    # the distilled gate must be meaningfully better than chance on its
+    # own training distribution (collisions at 2048 buckets cost recall,
+    # but the prior + head buckets carry the signal)
+    assert got["f1"] > 0.5
+
+    df = quality_nb_score(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # model + prior broadcast; the only shuffles are the trainer's bucket
+    # agg and the per-doc sum — never a corpus-to-corpus sort-merge join
+    assert "SortMergeJoin" not in plan
