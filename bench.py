@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "cluster_balanced_sample",
     "quality_nb_score",
     "nb_f1",
+    "domain_mix_weights",
     "quality_train_nb",
     "corpus_datasheet",
     "doclen_histogram",

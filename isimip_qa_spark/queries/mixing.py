@@ -352,3 +352,76 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(fp)").alias("checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture weights (the XLM-R / mBERT alpha-sampling rule,
+# Conneau et al. 2020 §3.1): source i with token share p_i is sampled with
+# probability q_i ∝ p_i^alpha — alpha < 1 upweights the tail so head
+# domains don't drown everything. This is the number the trainer's sampler
+# actually consumes; `domain_diversity` (selection.py) reports whether it's
+# needed, this computes it.
+#
+# Scale shape: one hash agg keyed on source (map-side combine ⇒ the
+# exchange carries one row per source per task), a 1-row broadcast total,
+# and the final arithmetic over the |sources| table. Determinism: p_i is a
+# single IEEE division of exact int64 sums; p_i^alpha (libm pow) is
+# quantized to the 1/2^20 dyadic grid BEFORE the normalising sum, so the
+# denominator is order-independent and q_i is a single exact division —
+# same recipe as the LM logprobs (queries/lm.py).
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.3  # Conneau et al. 2020's low-resource-friendly setting
+MIX_Q = 1 << 20
+
+
+@register(
+    "domain_mix_weights",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             count(*)::BIGINT AS n_docs,
+             sum(len({_TOKENS_SQL}))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens)::BIGINT AS t FROM s),
+    p AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / tot.t AS p,
+             round(pow(CAST(n_tokens AS DOUBLE) / tot.t, {MIX_ALPHA})
+                   * {MIX_Q}) / {MIX_Q} AS pa
+      FROM s CROSS JOIN tot
+    ),
+    z AS (SELECT sum(pa) AS z FROM p)
+    SELECT source, n_docs, n_tokens,
+           round(p, 6) AS token_share,
+           round(pa / z.z, 6) AS mix_weight
+    FROM p CROSS JOIN z
+    """,
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_tokens, token_share, mix_weight): alpha-tempered
+    sampling weights per source; mix_weight sums to 1."""
+    d = read_table(spark, sf_dir, "documents")
+    s = (
+        d.select("source", ts.n_words_expr(F.col("text")).alias("nt"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+    tot = s.agg(F.sum("n_tokens").alias("t"))
+    p = F.col("n_tokens").cast("double") / F.col("t")
+    pdf = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        p.alias("p"),
+        (F.round(F.pow(p, F.lit(MIX_ALPHA)) * MIX_Q) / MIX_Q).alias("pa"),
+    )
+    z = pdf.agg(F.sum("pa").alias("z"))
+    return pdf.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("p", 6).alias("token_share"),
+        F.round(F.col("pa") / F.col("z"), 6).alias("mix_weight"),
+    )

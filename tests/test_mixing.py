@@ -59,3 +59,23 @@ def test_token_budget_greedy_property(spark):
                 break
             prefix.add(d)
         assert prefix == {r["doc_id"] for r in rs}
+
+
+def test_domain_mix_weights(spark, sf_dir):
+    """alpha-tempering flattens: head domains lose share, tail domains
+    gain; weights form a distribution; ordering by share is preserved."""
+    from isimip_qa_spark.queries.mixing import domain_mix_weights
+
+    rows = sorted(
+        domain_mix_weights(spark, sf_dir).collect(),
+        key=lambda r: -r["token_share"],
+    )
+    assert len(rows) >= 2
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-4
+    head, tail = rows[0], rows[-1]
+    assert head["token_share"] > tail["token_share"]
+    assert head["mix_weight"] < head["token_share"]
+    assert tail["mix_weight"] > tail["token_share"]
+    # monotone: p^alpha preserves the share ordering
+    ws = [r["mix_weight"] for r in rows]
+    assert ws == sorted(ws, reverse=True)
