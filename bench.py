@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "quality_nb_score",
     "nb_f1",
     "domain_mix_weights",
+    "host_boilerplate",
+    "vocab_growth",
     "quality_train_nb",
     "corpus_datasheet",
     "doclen_histogram",

@@ -477,3 +477,77 @@ def host_families_frame(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-host boilerplate detection (the RefinedWeb/CCNet template-stripping
+# precursor): a segment repeated across MANY documents of the SAME host is
+# navigation/footer template, not content — global paragraph dedup
+# (dedup_paragraphs) would keep its first copy per corpus; this flags it per
+# host so a cleaner can drop every copy. Emits the report (the gate's
+# threshold is a consumer decision; the fixture's organic within-host repeat
+# rate is low, so the planted-template pytest carries the recall proof).
+#
+# Scale shape: segments travel as 8-byte xxhash64 keys with a min(seg)
+# representative riding the agg (text never shuffles as the KEY; the oracle
+# groups by the segment STRING, so a hash collision would surface as a
+# count/row mismatch — the mirror_hosts discipline). Two bounded hash aggs:
+# (doc, host, seg-hash) distinct, then (host, seg-hash) counts; the host
+# doc-count side is |hosts| rows, broadcast.
+# ---------------------------------------------------------------------------
+
+BOILER_MIN = 2  # min docs sharing a segment within one host
+
+
+@register(
+    "host_boilerplate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+    segs AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(toks[(i*{SEG_W}+1):(i*{SEG_W}+{SEG_W})], ' ') AS seg
+      FROM t, unnest(range(0, greatest(cast(ceil(len(toks) / {SEG_W}.0) AS BIGINT), 1)))
+           AS u(i)
+    ),
+    h AS (SELECT source, count(*)::BIGINT AS host_docs
+          FROM documents GROUP BY source),
+    rep AS (
+      SELECT source, seg AS segment, count(*)::BIGINT AS n_docs_with_seg
+      FROM segs GROUP BY source, seg HAVING count(*) >= {BOILER_MIN}
+    )
+    SELECT rep.source, segment, n_docs_with_seg, host_docs,
+           round(CAST(n_docs_with_seg AS DOUBLE) / host_docs, 6) AS frac
+    FROM rep JOIN h ON h.source = rep.source
+    """,
+)
+def host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, segment, n_docs_with_seg, host_docs, frac): segments shared
+    by >= {BOILER_MIN} documents of one host, with the host-coverage
+    fraction a template-stripper thresholds on."""
+    d = read_table(spark, sf_dir, "documents")
+    segs = (
+        d.select(
+            "doc_id", "source", F.explode(segments_expr(F.col("text"))).alias("seg")
+        )
+        .select("doc_id", "source", F.xxhash64("seg").alias("sh"), "seg")
+        .dropDuplicates(["doc_id", "source", "sh"])
+    )
+    rep = (
+        segs.groupBy("source", "sh")
+        .agg(
+            F.count("*").alias("n_docs_with_seg"),
+            F.min("seg").alias("segment"),
+        )
+        .filter(F.col("n_docs_with_seg") >= BOILER_MIN)
+    )
+    h = d.groupBy("source").agg(F.count("*").alias("host_docs"))
+    return rep.join(F.broadcast(h), "source").select(
+        "source",
+        "segment",
+        "n_docs_with_seg",
+        "host_docs",
+        F.round(
+            F.col("n_docs_with_seg").cast("double") / F.col("host_docs"), 6
+        ).alias("frac"),
+    )

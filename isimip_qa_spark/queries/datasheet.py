@@ -139,3 +139,82 @@ def doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary-growth curve (Heaps' law observability): cumulative distinct
+# token types vs cumulative token occurrences at DECILES deterministic
+# corpus checkpoints (doc_id order). The number tokenizer/vocab sizing and
+# dedup-health monitoring read: types growing ~ occurrences^beta is healthy
+# crawl; a flattening curve at constant occ growth means the new data is
+# duplicate-heavy.
+#
+# Scale shape: "distinct types seen by checkpoint k" is computed WITHOUT
+# any per-checkpoint rescan — each type contributes one row keyed by its
+# FIRST checkpoint (min over an int in [1, DECILES]; map-side combine
+# collapses each task's token stream to its distinct types), then a
+# ≤DECILES-row running sum. Two token-keyed hash aggs over one scan; the
+# window sees DECILES rows, never the corpus.
+# ---------------------------------------------------------------------------
+
+DECILES = 10
+
+
+@register(
+    "vocab_growth",
+    oracle=f"""
+    WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+    ex AS (
+      SELECT 1 + (doc_id * {DECILES}) // mx.m AS b,
+             unnest({_TOKENS_SQL}) AS w
+      FROM documents CROSS JOIN mx
+    ),
+    occ AS (SELECT b, count(*)::BIGINT AS occ FROM ex GROUP BY b),
+    tokmin AS (SELECT w, min(b) AS minb FROM ex GROUP BY w),
+    nt AS (SELECT minb AS b, count(*)::BIGINT AS new_types
+           FROM tokmin GROUP BY minb),
+    d AS (SELECT i::BIGINT AS decile FROM unnest(range(1, {DECILES} + 1)) AS u(i))
+    SELECT decile,
+           CAST(sum(coalesce(occ.occ, 0)) OVER (ORDER BY decile) AS BIGINT)
+             AS cum_tokens,
+           CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY decile) AS BIGINT)
+             AS cum_types
+    FROM d LEFT JOIN occ ON occ.b = d.decile LEFT JOIN nt ON nt.b = d.decile
+    """,
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(decile, cum_tokens, cum_types): the type/token curve at {DECILES}
+    doc_id-order checkpoints."""
+    from pyspark.sql.window import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    mx = d.agg((F.max("doc_id") + 1).alias("m"))
+    ex = d.crossJoin(F.broadcast(mx)).select(
+        (1 + F.expr(f"(doc_id * {DECILES}) div m")).alias("b"),
+        F.explode(ts.tokens_expr(F.col("text"))).alias("w"),
+    )
+    occ = ex.groupBy("b").agg(F.count("*").alias("occ"))
+    nt = (
+        ex.groupBy("w")
+        .agg(F.min("b").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("new_types"))
+    )
+    deciles = spark.range(1, DECILES + 1).withColumnRenamed("id", "decile")
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = (
+        deciles.join(F.broadcast(occ), deciles.decile == occ.b, "left")
+        .drop("b")
+        .join(F.broadcast(nt), deciles.decile == nt.b, "left")
+        .drop("b")
+    )
+    return joined.select(
+        "decile",
+        F.sum(F.coalesce("occ", F.lit(0))).over(w).cast("long").alias("cum_tokens"),
+        F.sum(F.coalesce("new_types", F.lit(0)))
+        .over(w)
+        .cast("long")
+        .alias("cum_types"),
+    )

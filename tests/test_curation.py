@@ -119,3 +119,31 @@ def test_ppl_bucket_approx_agrees_with_exact(spark, sf_dir, docs_pdf):
                        suffixes=("", "_exact"))
     agree = (merged["bucket"] == merged["bucket_exact"]).mean()
     assert agree >= 0.98, agree
+
+
+def test_host_boilerplate_planted(spark, tmp_path):
+    """A 20-word template shared by every doc of one host is flagged with
+    frac 1.0; unique bodies and the clean host produce no rows."""
+    import pandas as pd
+
+    from isimip_qa_spark.queries.curation import SEG_W, host_boilerplate
+
+    template = " ".join(f"nav{i}" for i in range(SEG_W))
+    docs = []
+    for i in range(5):
+        body = " ".join(f"body{i}w{j}" for j in range(SEG_W))
+        docs.append((i, f"{template} {body}", "en", "hostA", 0))
+    for i in range(5, 8):
+        docs.append((i, " ".join(f"clean{i}w{j}" for j in range(SEG_W)),
+                     "en", "hostB", 0))
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    rows = host_boilerplate(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["source"] == "hostA"
+    assert r["segment"] == template
+    assert r["n_docs_with_seg"] == 5 and r["host_docs"] == 5
+    assert r["frac"] == 1.0

@@ -54,3 +54,30 @@ def test_doclen_buckets_partition_the_corpus(spark):
         & (F.size(ts.tokens_expr(F.col("text"))) <= mid.hi_tokens)
     ).count()
     assert n == mid.n_docs
+
+
+def test_vocab_growth_curve(spark, sf_dir):
+    """Monotone curve, exact totals, sublinear type growth (Heaps), and
+    the plan never windows over corpus rows."""
+    import duckdb
+
+    from isimip_qa_spark.queries.datasheet import DECILES, vocab_growth
+
+    df = vocab_growth(spark, sf_dir)
+    rows = sorted(df.collect(), key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, DECILES + 1))
+    toks = [r["cum_tokens"] for r in rows]
+    typs = [r["cum_types"] for r in rows]
+    assert toks == sorted(toks) and typs == sorted(typs)
+    con = duckdb.connect()
+    tot = con.execute(
+        "SELECT sum(len(string_split(text,' ')))::BIGINT "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    dis = con.execute(
+        "SELECT count(DISTINCT w) FROM (SELECT unnest(string_split(text,' ')) w "
+        f"FROM read_parquet('{sf_dir}/documents.parquet'))"
+    ).fetchone()[0]
+    assert toks[-1] == tot and typs[-1] == dis
+    # types grow slower than occurrences over the back half (Heaps)
+    assert (typs[-1] - typs[4]) < (toks[-1] - toks[4])
