@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "nb_f1",
     "domain_mix_weights",
     "host_boilerplate",
+    "strip_boilerplate",
     "vocab_growth",
     "quality_train_nb",
     "corpus_datasheet",

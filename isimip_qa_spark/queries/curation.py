@@ -551,3 +551,75 @@ def host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs_with_seg").cast("double") / F.col("host_docs"), 6
         ).alias("frac"),
     )
+
+
+@register(
+    "strip_boilerplate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+    segs AS (
+      SELECT doc_id, source, i::INT AS seg_idx,
+             array_to_string(toks[(i*{SEG_W}+1):(i*{SEG_W}+{SEG_W})], ' ') AS seg
+      FROM t, unnest(range(0, greatest(cast(ceil(len(toks) / {SEG_W}.0) AS BIGINT), 1)))
+           AS u(i)
+    ),
+    flagged AS (
+      SELECT source, seg FROM (SELECT DISTINCT doc_id, source, seg FROM segs)
+      GROUP BY source, seg HAVING count(*) >= {BOILER_MIN}
+    ),
+    marked AS (
+      SELECT s.doc_id, s.seg_idx, s.seg,
+             f.seg IS NOT NULL AS is_boiler
+      FROM segs s LEFT JOIN flagged f
+        ON f.source = s.source AND f.seg = s.seg
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT is_boiler THEN seg END,
+                               ' ' ORDER BY seg_idx), '') AS text_clean,
+           count(*)::BIGINT AS n_segs,
+           sum(CASE WHEN is_boiler THEN 1 ELSE 0 END)::BIGINT AS n_stripped
+    FROM marked GROUP BY doc_id
+    """,
+)
+def strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text_clean, n_segs, n_stripped): documents rebuilt without
+    their host's boilerplate segments (EVERY copy goes — global paragraph
+    dedup would keep the first; host_boilerplate is the report face of the
+    same flag set). Broadcast of the flagged (host, segment-hash) set —
+    boilerplate vocabularies are host-bounded and tiny next to the corpus —
+    then the dedup_paragraphs rebuild: drop indices collected per doc, the
+    text array filtered in place, no per-doc window anywhere."""
+    d = read_table(spark, sf_dir, "documents")
+    segs = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(segments_expr(F.col("text"))).alias("seg_idx", "seg"),
+    ).select("doc_id", "source", "seg_idx", F.xxhash64("seg").alias("sh"))
+    flagged = (
+        segs.dropDuplicates(["doc_id", "source", "sh"])
+        .groupBy("source", "sh")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= BOILER_MIN)
+        .select("source", "sh")
+    )
+    drops = (
+        segs.join(F.broadcast(flagged), ["source", "sh"])
+        .groupBy("doc_id")
+        .agg(F.collect_set("seg_idx").alias("drop_idx"))
+    )
+    arr = segments_expr(F.col("text"))
+    empty = F.array().cast("array<int>")
+    return (
+        d.join(drops, "doc_id", "left")
+        .withColumn("drop_idx", F.coalesce(F.col("drop_idx"), empty))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.filter(arr, lambda s, i: ~F.array_contains(F.col("drop_idx"), i)),
+            ).alias("text_clean"),
+            F.size(arr).cast("long").alias("n_segs"),
+            F.size("drop_idx").cast("long").alias("n_stripped"),
+        )
+    )

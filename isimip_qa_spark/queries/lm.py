@@ -24,12 +24,14 @@ with whole-array ops (/root/reference/isimip_qa/extractions/mean.py:35);
 here both model fit and scoring are single declarative plans.
 
 Scale contract (the Brants design, re-expressed in Spark):
-- TRAIN = two hash aggregations: unigrams keyed on the token, bigrams keyed
-  on (w1, w2). Map-side partial aggregation means the shuffle carries one
-  row per distinct n-gram per task, not per occurrence — at 10^12 docs the
-  bigram table is sharded by its group key exactly like Brants'
-  hash-partitioned count tables. The model-half filter is a pushed scan
-  predicate, not a separate pass.
+- TRAIN = ONE corpus-touching hash aggregation: the sentinel-pair stream
+  (every token occurrence appears exactly once as w2) aggregates keyed on
+  (w1, w2); the unigram table is a re-aggregate of THAT table — a
+  |bigram-vocab|-sized agg, not a second corpus pass. Map-side partial
+  aggregation means the shuffle carries one row per distinct n-gram per
+  task, not per occurrence — at 10^12 docs the bigram table is sharded by
+  its group key exactly like Brants' hash-partitioned count tables. The
+  model-half filter is a pushed scan predicate, not a separate pass.
 - SCORE = the "batched lookup" join: the position stream joins the bigram
   table on (w1, w2) — the SAME key the training agg produced, so a
   production run that persists the model bucketed by (w1, w2) replays the
@@ -70,16 +72,6 @@ def _toks(spark: SparkSession, sf_dir: str, model_half: bool) -> DataFrame:
     return d.select("doc_id", ts.tokens_expr(F.col("text")).alias("toks"))
 
 
-def _uni(toksdf: DataFrame) -> DataFrame:
-    """(w, cu): unigram counts. One explode + one hash agg keyed on the
-    token; partial aggregation collapses repeats map-side."""
-    return (
-        toksdf.select(F.explode("toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("cu"))
-    )
-
-
 def _pairs_expr() -> F.Column:
     n = F.size("toks")
     return F.arrays_zip(
@@ -88,16 +80,48 @@ def _pairs_expr() -> F.Column:
     )
 
 
+def _sentinel_pairs_expr() -> F.Column:
+    """The full position stream as pairs: a leading (NULL, w_1) sentinel
+    gives the sentence-initial unigram term the same row shape as the
+    bigram terms — and makes every token occurrence appear EXACTLY ONCE
+    as w2, which is what lets the unigram table be derived from the
+    bigram aggregate instead of a second corpus pass."""
+    return F.concat(
+        F.array(
+            F.struct(
+                F.lit(None).cast("string").alias("w1"),
+                F.col("toks").getItem(0).alias("w2"),
+            )
+        ),
+        _pairs_expr(),
+    )
+
+
+def _model(toksdf: DataFrame):
+    """(big, uni, tot) from ONE scan of the model half: the sentinel-pair
+    stream aggregates once keyed on (w1, w2); the unigram table then
+    re-aggregates THAT table (each occurrence is exactly one stream w2),
+    so it costs a |bigram-vocab|-sized agg, not a corpus pass."""
+    big_all = (
+        toksdf.select(F.explode(_sentinel_pairs_expr()).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    big = big_all.filter(F.col("w1").isNotNull()).select(
+        "w1", "w2", F.col("c").alias("cb")
+    )
+    uni = big_all.groupBy(F.col("w2").alias("w")).agg(F.sum("c").alias("cu"))
+    tot = uni.agg(F.sum("cu").alias("n_corpus"))
+    return big, uni, tot
+
+
 def _big(toksdf: DataFrame) -> DataFrame:
     """(w1, w2, cb): bigram counts, keyed on the pair — the model's shard
     key at scale (persist bucketed by (w1, w2) to make scoring joins
     shuffle-free on the model side)."""
-    return (
-        toksdf.select(F.explode(_pairs_expr()).alias("p"))
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .groupBy("w1", "w2")
-        .agg(F.count("*").alias("cb"))
-    )
+    big, _, _ = _model(toksdf)
+    return big
 
 
 _MODEL_SQL = f"""
@@ -180,27 +204,13 @@ def ppl_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram, else backoff), so the whole query is scan → explode → joins →
     one doc_id agg with no window.
     """
-    mtoks = _toks(spark, sf_dir, model_half=True)
-    uni = _uni(mtoks)
-    tot = uni.agg(F.sum("cu").alias("n_corpus"))
-    big = _big(mtoks)
+    big, uni, tot = _model(_toks(spark, sf_dir, model_half=True))
 
-    # position stream over ALL docs: a leading (NULL, w_1) sentinel row
-    # gives the sentence-initial unigram term the same row shape as the
-    # bigram terms
+    # position stream over ALL docs, same sentinel-pair shape
     alltoks = _toks(spark, sf_dir, model_half=False)
-    pairs = F.concat(
-        F.array(
-            F.struct(
-                F.lit(None).cast("string").alias("w1"),
-                F.col("toks").getItem(0).alias("w2"),
-            )
-        ),
-        _pairs_expr(),
-    )
-    stream = alltoks.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
-    )
+    stream = alltoks.select(
+        "doc_id", F.explode(_sentinel_pairs_expr()).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
 
     s = (
         stream.join(

@@ -147,3 +147,30 @@ def test_host_boilerplate_planted(spark, tmp_path):
     assert r["segment"] == template
     assert r["n_docs_with_seg"] == 5 and r["host_docs"] == 5
     assert r["frac"] == 1.0
+
+
+def test_strip_boilerplate_planted(spark, tmp_path):
+    """The planted template is removed from EVERY doc of the host (byte
+    reconstruction of the remaining body); clean docs are untouched."""
+    import pandas as pd
+
+    from isimip_qa_spark.queries.curation import SEG_W, strip_boilerplate
+
+    template = " ".join(f"nav{i}" for i in range(SEG_W))
+    docs, bodies = [], {}
+    for i in range(4):
+        body = " ".join(f"body{i}w{j}" for j in range(SEG_W))
+        bodies[i] = body
+        docs.append((i, f"{template} {body}", "en", "hostA", 0))
+    clean_text = " ".join(f"clean{j}" for j in range(SEG_W))
+    docs.append((9, clean_text, "en", "hostB", 0))
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {r["doc_id"]: r for r in strip_boilerplate(spark, str(tmp_path)).collect()}
+    for i in range(4):
+        assert got[i]["text_clean"] == bodies[i]
+        assert got[i]["n_stripped"] == 1 and got[i]["n_segs"] == 2
+    assert got[9]["text_clean"] == clean_text
+    assert got[9]["n_stripped"] == 0
