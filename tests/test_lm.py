@@ -8,6 +8,7 @@ import math
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from isimip_qa_spark.queries.lm import (
     BACKOFF,
@@ -88,3 +89,43 @@ def test_scoring_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 3
     assert "Window" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bucketed_model_scoring_join(spark, sf_dir):
+    """The lm.py scale claim: a model PERSISTED bucketed by (w1, w2) joins
+    the (unbucketed) position stream with an exchange on the STREAM side
+    only — the model side is read pre-partitioned. One-sided bucketing is
+    the realistic scoring shape (the stream is the arriving corpus; only
+    the model is a managed artifact)."""
+    from isimip_qa_spark.queries.lm import _big, _toks
+
+    big = _big(_toks(spark, sf_dir, model_half=True))
+    spark.sql("DROP TABLE IF EXISTS lm_model_b")
+    (
+        big.write.bucketBy(8, "w1", "w2")
+        .sortBy("w1", "w2")
+        .mode("overwrite")
+        .saveAsTable("lm_model_b")
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        stream = _toks(spark, sf_dir, model_half=False).select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, F.size("toks") - 1).alias("w1"),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        j = stream.join(spark.table("lm_model_b"), ["w1", "w2"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # exactly one exchange: the stream side; the bucketed model scan
+        # feeds the join directly
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS lm_model_b")
