@@ -14,7 +14,14 @@ uses for distributed n-gram LMs, Stupid Backoff (Brants et al. 2007,
     S(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})   if the bigram was seen
                      = 0.4 * c(w_i) / N              else, w_i in vocab
     S(w_1)           = c(w_1) / N                    (sentence-initial)
-    OOV              = fixed floor logprob           (w_i not in vocab)
+    OOV              = floor logprob, BELOW every in-vocab score
+                       BY CONSTRUCTION: q(ln(0.4/N)) - OOV_MARGIN. The
+                       worst in-vocab score is the backoff branch at
+                       c(w_i)=1, i.e. q(ln(0.4·1/N)), so the floor sits
+                       exactly OOV_MARGIN under it AT ANY CORPUS SIZE —
+                       a fixed constant would invert the OOV-vs-rare-word
+                       ordering once N > 0.4·e^|floor| (≈3.5M tokens for
+                       -16), rewarding gibberish over clean rare text.
 
 (scores, not probabilities — no normalisation, no discounting — which is
 exactly why it distributes: training is pure counting.)
@@ -45,10 +52,13 @@ Scale contract (the Brants design, re-expressed in Spark):
   grid (round(ln(s)·Q)/Q — the DSIR recipe, queries/dsir.py), so per-doc
   SUMS are exact in IEEE double regardless of accumulation order and the
   DuckDB twin matches bit-for-bit; only exp(-avg) can differ by a libm ulp,
-  absorbed by round-to-6. The OOV floor is dyadic by construction.
+  absorbed by round-to-6. The OOV floor is dyadic by construction
+  (a 1/Q-grid value minus the dyadic OOV_MARGIN).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,8 +71,17 @@ from .webtext import _TOKENS_SQL
 Q = 1024  # dyadic quantization grid for per-position logprobs
 BACKOFF = 0.4  # Brants et al. 2007 §4: fixed, not tuned
 MODEL_MOD = 2  # doc_id % MODEL_MOD == 0 → model-training half
-OOV_LP = -16.0  # dyadic floor, below any in-vocab quantized logprob
+OOV_MARGIN = 1.0  # dyadic; OOV floor = q(ln(BACKOFF/N)) - OOV_MARGIN
 N_TOP = 50  # lm_bigram_top rows
+
+
+def oov_floor_lp(n_corpus: int) -> float:
+    """Python twin of the in-plan OOV floor (module docstring), for tests
+    and driver-side reporting: the quantized worst possible in-vocab
+    backoff score minus the dyadic margin."""
+    v = math.log(BACKOFF / n_corpus) * Q
+    q = math.floor(v + 0.5) / Q if v >= 0 else math.ceil(v - 0.5) / Q
+    return q - OOV_MARGIN
 
 
 def _toks(spark: SparkSession, sf_dir: str, model_half: bool) -> DataFrame:
@@ -173,7 +192,9 @@ def lm_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT s.doc_id,
              CASE
-               WHEN u2.cu IS NULL THEN {OOV_LP}
+               WHEN u2.cu IS NULL
+                 THEN round(ln({BACKOFF} / tot.n_corpus) * {Q}) / {Q}
+                      - {OOV_MARGIN}
                WHEN s.w1 IS NULL
                  THEN round(ln(CAST(u2.cu AS DOUBLE) / tot.n_corpus) * {Q}) / {Q}
                WHEN b.cb IS NOT NULL
@@ -231,7 +252,10 @@ def ppl_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.round(x * Q) / Q
 
     lp = (
-        F.when(F.col("cu2").isNull(), F.lit(OOV_LP))
+        F.when(
+            F.col("cu2").isNull(),
+            _q(F.log(F.lit(BACKOFF) / F.col("n_corpus"))) - OOV_MARGIN,
+        )
         .when(
             F.col("w1").isNull(),
             _q(F.log(F.col("cu2").cast("double") / F.col("n_corpus"))),

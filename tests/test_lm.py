@@ -12,9 +12,9 @@ from pyspark.sql import functions as F
 
 from isimip_qa_spark.queries.lm import (
     BACKOFF,
-    OOV_LP,
     Q,
     lm_bigram_top,
+    oov_floor_lp,
     ppl_stupid_backoff,
 )
 
@@ -51,7 +51,7 @@ def test_planted_scores(spark, corpus_dir):
     assert set(got) == {0, 1, 2, 3}
 
     # d1 "b c d": uni(b)=2/6, bigram (b,c)=1/2, (c,d) → d is OOV
-    lp1 = _q(math.log(2 / 6)) + _q(math.log(1 / 2)) + OOV_LP
+    lp1 = _q(math.log(2 / 6)) + _q(math.log(1 / 2)) + oov_floor_lp(6)
     # d3 "c a": uni(c)=1/6, (c,a) unseen but a in vocab → 0.4 * 3/6
     lp3 = _q(math.log(1 / 6)) + _q(math.log(BACKOFF * 3 / 6))
     # d0 "a b c" (model half): uni(a)=3/6, (a,b)=2/3, (b,c)=1/2
@@ -89,6 +89,15 @@ def test_scoring_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 3
     assert "Window" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_oov_floor_below_all_in_vocab():
+    """The floor invariant that a fixed constant broke at N > 0.4·e^16:
+    at ANY corpus size, OOV scores strictly below the worst possible
+    in-vocab score (the backoff branch at count 1)."""
+    for n in (6, 10**6, 10**9, 10**12):
+        worst_in_vocab = _q(math.log(BACKOFF * 1 / n))
+        assert oov_floor_lp(n) < worst_in_vocab
 
 
 def test_bucketed_model_scoring_join(spark, sf_dir):
