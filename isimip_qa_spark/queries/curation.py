@@ -95,6 +95,36 @@ _SEGS_SQL = f"""
 """
 
 
+def _rebuild_without(
+    d: DataFrame, drops: DataFrame, text_col: str, dropped_col: str
+) -> DataFrame:
+    """Rebuild every document from the segments NOT flagged in `drops`
+    ((doc_id, drop_idx int array)) — the in-place array-filter shared by
+    dedup_paragraphs and strip_boilerplate: left join (docs with nothing
+    flagged keep everything), coalesce to an empty index array, filter the
+    positional segment array, re-join. One place, so a fix to the rebuild
+    (the int-index array_contains, the empty-array coalesce) cannot apply
+    to one query and silently miss the other."""
+    arr = segments_expr(F.col("text"))
+    empty = F.array().cast("array<int>")
+    return (
+        d.join(drops, "doc_id", "left")
+        .withColumn("drop_idx", F.coalesce(F.col("drop_idx"), empty))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.filter(
+                    arr,
+                    lambda s, i: ~F.array_contains(F.col("drop_idx"), i),
+                ),
+            ).alias(text_col),
+            F.size(arr).cast("long").alias("n_segs"),
+            F.size("drop_idx").cast("long").alias(dropped_col),
+        )
+    )
+
+
 @register("dedup_paragraphs", _SEGS_SQL)
 def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide paragraph dedup: a paragraph instance survives iff it is
@@ -111,21 +141,8 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_set("seg_idx").alias("drop_idx"))
     )
-    arr = segments_expr(F.col("text"))
-    empty = F.array().cast("array<int>")
-    return (
-        d.join(drops, "doc_id", "left")
-        .withColumn("drop_idx", F.coalesce(F.col("drop_idx"), empty))
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.filter(arr, lambda s, i: ~F.array_contains(F.col("drop_idx"), i)),
-            ).alias("text_deduped"),
-            F.size(arr).cast("long").alias("n_segs"),
-            F.size("drop_idx").cast("long").alias("n_dropped"),
-        )
-        .orderBy("doc_id")
+    return _rebuild_without(d, drops, "text_deduped", "n_dropped").orderBy(
+        "doc_id"
     )
 
 
@@ -608,18 +625,4 @@ def strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_set("seg_idx").alias("drop_idx"))
     )
-    arr = segments_expr(F.col("text"))
-    empty = F.array().cast("array<int>")
-    return (
-        d.join(drops, "doc_id", "left")
-        .withColumn("drop_idx", F.coalesce(F.col("drop_idx"), empty))
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.filter(arr, lambda s, i: ~F.array_contains(F.col("drop_idx"), i)),
-            ).alias("text_clean"),
-            F.size(arr).cast("long").alias("n_segs"),
-            F.size("drop_idx").cast("long").alias("n_stripped"),
-        )
-    )
+    return _rebuild_without(d, drops, "text_clean", "n_stripped")

@@ -130,6 +130,23 @@ def _iter_sql(i: int) -> str:
 def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(host, outdeg, rank): {ITERS}-iteration PageRank over the derived
     host graph, damping {DAMP}, uniform start 1/|hosts|."""
+    out, edges = _pagerank_df(spark, sf_dir)
+    # Materialize the |hosts|-row result eagerly, then RELEASE the cached
+    # edge table: CacheManager entries are never GC-cleaned, so an unpaired
+    # persist leaks executor storage for the session lifetime (bench and
+    # the oracle sweep run all queries in one session). localCheckpoint
+    # blocks are RDD-level — the ContextCleaner frees them when the result
+    # is garbage-collected. The checkpoint is dim-sized by construction;
+    # the corpus-derived edges never materialize outside the loop's jobs.
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
+
+
+def _pagerank_df(spark: SparkSession, sf_dir: str):
+    """The lazy PageRank plan plus the persisted edges handle (the caller
+    owns the unpersist — host_pagerank pairs it after checkpointing; the
+    plan-shape test inspects the plan, then unpersists)."""
     edges = _edges(spark, sf_dir).persist()
     deg = edges.groupBy("src").agg(F.sum("w").alias("outdeg"))
     # (src, dst, w, outdeg) — deg is |hosts| rows, broadcast; past broadcast
@@ -168,6 +185,7 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-    return ranks.join(
+    out = ranks.join(
         F.broadcast(deg.withColumnRenamed("src", "host")), "host"
     ).select("host", "outdeg", F.round("r", 6).alias("rank"))
+    return out, edges

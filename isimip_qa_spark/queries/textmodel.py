@@ -391,6 +391,17 @@ def _nb_score_sql() -> str:
 
 
 def _nb_score_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Three corpus scans, deliberately: (1) the trainer's keep+tokens scan,
+    # (2) the label-only prior scan below, (3) the scoring explode. Deriving
+    # the prior from `sc` (it carries per-doc heur_keep) LOOKS like it
+    # removes scan 2, but Spark does not reuse the sc exchange between
+    # `sc.agg(...)` and the output that joins it (measured: ReusedExchange
+    # absent from the final adaptive plan; the broadcast of an agg-over-sc
+    # additionally serializes the heavy subtree behind the broadcast
+    # timeout) — so that shape re-evaluates scan 3's explode+join+agg, far
+    # costlier than the label-only projection it would replace. In
+    # production the trainer output is a persisted artifact and scan 1
+    # disappears entirely (the dsir_artifact pattern).
     docs = read_table(spark, sf_dir, "documents")
     text = F.col("text")
 

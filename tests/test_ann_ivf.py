@@ -70,12 +70,18 @@ def test_cluster_balanced_sample(spark, sf_dir):
     for cell, n in by_cell.items():
         got = sorted(r["rank"] for r in rows if r["cell"] == cell)
         assert got == list(range(1, n + 1))
-    # within a cell, rank order follows sim (desc) with vec_id tiebreak
+    # within a cell, rank order follows sim desc — compared on the ROUNDED
+    # output sim only where values strictly differ: ranking uses the raw
+    # kernel sim (vec_id tiebreak on true ties), so two raw sims within
+    # ~1e-6 can round equal while their raw order disagrees with vec_id
+    # order; asserting a vec_id tiebreak on rounded ties would fail on
+    # correct code for such near-ties
     for cell in by_cell:
-        seq = sorted(
-            ((r["rank"], -r["sim"], r["vec_id"]) for r in rows if r["cell"] == cell)
+        cell_rows = sorted(
+            (r for r in rows if r["cell"] == cell), key=lambda r: r["rank"]
         )
-        assert [s[1:] for s in seq] == sorted(s[1:] for s in seq)
+        sims = [r["sim"] for r in cell_rows]
+        assert sims == sorted(sims, reverse=True)
     # plan: assignment is map-side; the only join is the broadcast centroid
     # lookup and the only shuffle funnel is the per-cell window
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -3,7 +3,12 @@ vs DuckDB is the oracle row's job) and the scale-shape plan assertions."""
 
 from __future__ import annotations
 
-from isimip_qa_spark.queries.graph import ITERS, QR, host_pagerank
+from isimip_qa_spark.queries.graph import (
+    ITERS,
+    QR,
+    _pagerank_df,
+    host_pagerank,
+)
 
 
 def _rows(spark, sf_dir):
@@ -34,12 +39,14 @@ def test_pagerank_deterministic(spark, sf_dir):
 
 
 def test_pagerank_plan_shape(spark, sf_dir):
-    plan = (
-        host_pagerank(spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    # host_pagerank itself returns a localCheckpoint (so it can unpersist
+    # the edge cache — its plan is an opaque ExistingRDD scan); the shape
+    # assertions inspect the lazy plan underneath it
+    df, edges = _pagerank_df(spark, sf_dir)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        edges.unpersist()
     # rank/dim/degree joins all broadcast — iterations shuffle only on the
     # groupBy(dst) agg, never a sort-merge join (the one Window in the
     # lineage is the host-dim id assignment over |hosts| rows; its subtree
@@ -50,3 +57,12 @@ def test_pagerank_plan_shape(spark, sf_dir):
     # every Window in the plan is the dim one (keyed by host ordering),
     # never a per-document window
     assert "windowspecdefinition(doc_id" not in plan.lower()
+
+
+def test_pagerank_releases_edge_cache(spark, sf_dir):
+    """The paired-persist contract: after host_pagerank returns, no
+    corpus-derived cache entry survives in the session's CacheManager."""
+    spark.catalog.clearCache()
+    host_pagerank(spark, sf_dir).collect()
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty(), "host_pagerank left a cached plan behind"
