@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "perplexity",
     "scrub_pii",
     "quality_score",
+    "word_entropy",
     "doc_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",

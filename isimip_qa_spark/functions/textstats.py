@@ -162,6 +162,44 @@ def dup_ngram_chars_expr(text: Column, n: int) -> Column:
     return F.aggregate(grams, acc0, step, lambda acc: acc["acc"])
 
 
+def word_entropy_expr(text: Column) -> Column:
+    """Shannon entropy (bits) of the document's word-unigram distribution —
+    the classic low-entropy / repetitive-text quality filter (CCNet-style
+    token-distribution heuristic; complements the Gopher duplicate-fraction
+    rules above, which only see exact line/paragraph/n-gram repeats).
+
+    H = log2(n) − (Σ_w c_w·log2 c_w)/n over token counts c_w, n = Σ c_w.
+    Same zero-shuffle sorted-fold shape as `top_ngram_cov_expr`: equal
+    tokens are adjacent after array_sort, so run length = frequency, and
+    extending a run from c−1 to c adds the telescoping increment
+    c·log2 c − (c−1)·log2(c−1), leaving Σ c·log2 c in the accumulator —
+    entirely JVM-side, structurally different from the DuckDB twin
+    (unnest → GROUP BY → sum), so the oracle match is a real cross-check.
+    Single-token and empty docs → 0.0 exactly."""
+    toks = F.array_sort(tokens_expr(text))
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("s"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(
+            F.lit(1).cast("long")
+        )
+        rd = run.cast("double")
+        inc = F.when(
+            run > 1, rd * F.log2(rd) - (rd - 1.0) * F.log2(rd - 1.0)
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), (acc["s"] + inc).alias("s")
+        )
+
+    sum_clogc = F.aggregate(toks, acc0, step, lambda acc: acc["s"])
+    n = F.size(toks).cast("double")
+    return F.round(F.log2(n) - sum_clogc / n, 6)
+
+
 # ASCII punctuation only (never counts CJK/accented letters as symbols);
 # identical semantics in Java regex / RE2 / Python re.
 SYMBOL_CLASS = "[!-/:-@\\[-`{-~]"

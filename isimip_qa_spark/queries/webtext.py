@@ -456,6 +456,41 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Word-unigram Shannon entropy filter (CCNet-style low-entropy/repetitive-
+# text heuristic). Keep flag is computed from the ROUNDED entropy on both
+# engines so the threshold comparison can never straddle a rounding edge.
+# ---------------------------------------------------------------------------
+
+ENTROPY_MIN = 2.0  # bits; docs whose token distribution carries less are dropped
+
+_ENTROPY_SQL = f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents),
+    c AS (SELECT doc_id, count(*) AS cnt FROM t GROUP BY doc_id, tok),
+    a AS (SELECT doc_id, sum(cnt)::DOUBLE AS n,
+                 sum(cnt * log2(cnt::DOUBLE)) AS s
+          FROM c GROUP BY doc_id)
+    SELECT doc_id,
+           round(log2(n) - s / n, 6) AS word_entropy,
+           round(log2(n) - s / n, 6) >= {ENTROPY_MIN} AS entropy_ok
+    FROM a
+    """
+
+
+@register("word_entropy", oracle=_ENTROPY_SQL)
+def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc word-unigram entropy + keep flag. Pure projection (the
+    sorted-fold in textstats.word_entropy_expr) — zero exchanges, zero
+    Python; asserted in tests/test_entropy.py."""
+    d = read_table(spark, sf_dir, "documents")
+    h = ts.word_entropy_expr(F.col("text"))
+    return d.select(
+        "doc_id",
+        h.alias("word_entropy"),
+        (h >= F.lit(ENTROPY_MIN)).alias("entropy_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Order-sensitive rolling-hash document fingerprint (exact integer math).
 # ---------------------------------------------------------------------------
 
