@@ -218,3 +218,129 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source content-overlap matrix: shingle-level Jaccard between every
+# source pair — the contamination/provenance datasheet entry ("how much of
+# src A already sits in src B") a multi-source training mix needs before
+# choosing mixture weights; exact cross-source duplicates are rare, shared
+# boilerplate/content is not, so the unit is the 3-gram shingle, not the doc.
+#
+# Scale shape: distinct (source, shingle-hash) is one map-side-combining
+# exchange on an (id, 8-byte) key; the self-join fans each shingle to at
+# most n_sources² rows — n_sources is a CATALOG dimension (tens, not
+# doc-scale), so total join output is O(|shingles| · n_sources²), linear in
+# the corpus; the two size lookups broadcast. Spark joins on xxhash64 of the
+# shingle (8 bytes, never the string) — Jaccard over hash sets equals
+# string-set Jaccard modulo ~|shingles|²/2⁶⁴ collisions, and the DuckDB twin
+# (string shingles, unnest → DISTINCT → self-join) is collision-exact, so a
+# collision would surface as an oracle mismatch (same accepted tolerance as
+# dedup_ngram_jaccard).
+# ---------------------------------------------------------------------------
+
+
+def _source_overlap_sql() -> str:
+    from ..functions.fingerprint import shingles_sql
+
+    sh = shingles_sql(_TOKENS_SQL)
+    return f"""
+    WITH e AS (SELECT DISTINCT source, s
+               FROM (SELECT source, unnest({sh}) AS s FROM documents)),
+    sz AS (SELECT source, count(*) AS n FROM e GROUP BY source),
+    i AS (SELECT a.source AS source_a, b.source AS source_b,
+                 count(*)::BIGINT AS shared
+          FROM e a JOIN e b ON a.s = b.s AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT source_a, source_b, shared,
+           round(shared::DOUBLE / (sa.n + sb.n - shared), 6) AS jaccard
+    FROM i JOIN sz sa ON sa.source = i.source_a
+           JOIN sz sb ON sb.source = i.source_b
+    """
+
+
+@register("source_overlap", _source_overlap_sql())
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.fingerprint import shingles_expr
+
+    d = read_table(spark, sf_dir, "documents")
+    e = d.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles_expr(ts.tokens_expr(F.col("text"))),
+                    lambda s: F.xxhash64(s),
+                )
+            )
+        ).alias("k"),
+    ).distinct()
+    sz = e.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        e.alias("a")
+        .join(e.alias("b"), "k")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    nb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    out = inter.join(F.broadcast(na), "source_a").join(F.broadcast(nb), "source_b")
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    ).cast("double")
+    return out.select(
+        "source_a", "source_b", "shared", F.round(jac, 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source language-distribution entropy: a source whose pages spread
+# uniformly over many languages is usually a machine-translated / spam
+# mirror farm, while a legitimate source is dominated by one or two — the
+# standard composition-drift flag on a crawl datasheet. Two tiny hash aggs
+# ((source, lang) counts, then per-source fold); the corpus crosses one
+# map-side-combining exchange keyed on the low-cardinality (source, lang)
+# pair. H = log2(n) − Σ c·log2 c / n over per-language doc counts; the flag
+# compares the ROUNDED entropy on both engines (same discipline as
+# word_entropy).
+# ---------------------------------------------------------------------------
+
+MIXED_LANG_MIN = 1.5  # bits; >= this many effective languages flags a source
+
+_SOURCE_LANG_SQL = f"""
+    WITH c AS (SELECT source, lang, count(*)::BIGINT AS cnt
+               FROM documents GROUP BY 1, 2),
+    a AS (SELECT source, sum(cnt)::DOUBLE AS n,
+                 count(*)::BIGINT AS n_langs,
+                 sum(cnt * log2(cnt::DOUBLE)) AS s
+          FROM c GROUP BY source)
+    SELECT source, n::BIGINT AS n_docs, n_langs,
+           round(log2(n) - s / n, 6) AS lang_entropy,
+           round(log2(n) - s / n, 6) >= {MIXED_LANG_MIN} AS mixed_lang
+    FROM a
+    """
+
+
+@register("source_lang_entropy", _SOURCE_LANG_SQL)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    cd = F.col("cnt").cast("double")
+    a = c.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(cd * F.log2(cd)).alias("s"),
+    )
+    n = F.col("n_docs").cast("double")
+    h = F.round(F.log2(n) - F.col("s") / n, 6)
+    return a.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "source",
+        F.col("n_langs").cast("long").alias("n_langs"),
+        h.alias("lang_entropy"),
+        (h >= F.lit(MIXED_LANG_MIN)).alias("mixed_lang"),
+    ).select("source", "n_docs", "n_langs", "lang_entropy", "mixed_lang")
