@@ -97,6 +97,35 @@ def ngrams_expr(tokens: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _run_fold(sorted_arr: Column, extra0: dict, update, finish) -> Column:
+    """Fold over a SORTED array tracking run lengths of equal elements —
+    the shared machinery of the three zero-shuffle frequency folds below
+    (equal elements are adjacent after array_sort, so run length =
+    frequency). `extra0` maps extra accumulator fields to their initial
+    Columns; `update(acc, x, run)` returns the updated extras as a dict;
+    `finish(acc)` extracts the result. The `""` sentinel in acc0 with
+    run=0 makes a leading empty element land on run=1 via the equal
+    branch — a contract all callers share."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        *[v.alias(k) for k, v in extra0.items()],
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(
+            F.lit(1).cast("long")
+        )
+        upd = update(acc, x, run)
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            *[v.alias(k) for k, v in upd.items()],
+        )
+
+    return F.aggregate(sorted_arr, acc0, step, finish)
+
+
 def top_ngram_cov_expr(text: Column, n: int) -> Column:
     """Character coverage (occurrences × gram char length) of the most
     frequent word n-gram — the numerator of Gopher §A1.1's 'fraction of
@@ -110,29 +139,23 @@ def top_ngram_cov_expr(text: Column, n: int) -> Column:
     cross-check, not the same code twice."""
     grams = F.array_sort(ngrams_expr(tokens_expr(text), n))
     zero = F.lit(0).cast("long")
-    acc0 = F.struct(
-        F.lit("").alias("prev"),
-        zero.alias("run"),
-        zero.alias("best_run"),
-        zero.alias("best_cov"),
-    )
 
-    def step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(
-            F.lit(1).cast("long")
-        )
+    def update(acc, x, run):
         cov = run * F.length(x).cast("long")
         better = (run > acc["best_run"]) | (
             (run == acc["best_run"]) & (cov > acc["best_cov"])
         )
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.when(better, run).otherwise(acc["best_run"]).alias("best_run"),
-            F.when(better, cov).otherwise(acc["best_cov"]).alias("best_cov"),
-        )
+        return {
+            "best_run": F.when(better, run).otherwise(acc["best_run"]),
+            "best_cov": F.when(better, cov).otherwise(acc["best_cov"]),
+        }
 
-    return F.aggregate(grams, acc0, step, lambda acc: acc["best_cov"])
+    return _run_fold(
+        grams,
+        {"best_run": zero, "best_cov": zero},
+        update,
+        lambda acc: acc["best_cov"],
+    )
 
 
 def dup_ngram_chars_expr(text: Column, n: int) -> Column:
@@ -145,21 +168,13 @@ def dup_ngram_chars_expr(text: Column, n: int) -> Column:
     `top_ngram_cov_expr`."""
     grams = F.array_sort(ngrams_expr(tokens_expr(text), n))
     zero = F.lit(0).cast("long")
-    acc0 = F.struct(
-        F.lit("").alias("prev"), zero.alias("run"), zero.alias("acc")
-    )
 
-    def step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(
-            F.lit(1).cast("long")
-        )
+    def update(acc, x, run):
         ln = F.length(x).cast("long")
         add = F.when(run == 2, F.lit(2) * ln).when(run > 2, ln).otherwise(zero)
-        return F.struct(
-            x.alias("prev"), run.alias("run"), (acc["acc"] + add).alias("acc")
-        )
+        return {"acc": acc["acc"] + add}
 
-    return F.aggregate(grams, acc0, step, lambda acc: acc["acc"])
+    return _run_fold(grams, {"acc": zero}, update, lambda acc: acc["acc"])
 
 
 def word_entropy_expr(text: Column) -> Column:
@@ -177,25 +192,17 @@ def word_entropy_expr(text: Column) -> Column:
     (unnest → GROUP BY → sum), so the oracle match is a real cross-check.
     Single-token and empty docs → 0.0 exactly."""
     toks = F.array_sort(tokens_expr(text))
-    acc0 = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0.0).alias("s"),
-    )
 
-    def step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(
-            F.lit(1).cast("long")
-        )
+    def update(acc, x, run):
         rd = run.cast("double")
         inc = F.when(
             run > 1, rd * F.log2(rd) - (rd - 1.0) * F.log2(rd - 1.0)
         ).otherwise(F.lit(0.0))
-        return F.struct(
-            x.alias("prev"), run.alias("run"), (acc["s"] + inc).alias("s")
-        )
+        return {"s": acc["s"] + inc}
 
-    sum_clogc = F.aggregate(toks, acc0, step, lambda acc: acc["s"])
+    sum_clogc = _run_fold(
+        toks, {"s": F.lit(0.0)}, update, lambda acc: acc["s"]
+    )
     n = F.size(toks).cast("double")
     return F.round(F.log2(n) - sum_clogc / n, 6)
 

@@ -266,12 +266,12 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     e = d.select(
         "source",
+        # shingles_expr output is already distinct per doc; the row-level
+        # .distinct() below collapses any residual per-doc hash collision
         F.explode(
-            F.array_distinct(
-                F.transform(
-                    shingles_expr(ts.tokens_expr(F.col("text"))),
-                    lambda s: F.xxhash64(s),
-                )
+            F.transform(
+                shingles_expr(ts.tokens_expr(F.col("text"))),
+                lambda s: F.xxhash64(s),
             )
         ).alias("k"),
     ).distinct()
@@ -338,9 +338,9 @@ def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n_docs").cast("double")
     h = F.round(F.log2(n) - F.col("s") / n, 6)
     return a.select(
-        F.col("n_docs").cast("long").alias("n_docs"),
         "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_langs").cast("long").alias("n_langs"),
         h.alias("lang_entropy"),
         (h >= F.lit(MIXED_LANG_MIN)).alias("mixed_lang"),
-    ).select("source", "n_docs", "n_langs", "lang_entropy", "mixed_lang")
+    )

@@ -464,7 +464,8 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 ENTROPY_MIN = 2.0  # bits; docs whose token distribution carries less are dropped
 
 _ENTROPY_SQL = f"""
-    WITH t AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents),
+    WITH t AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+               WHERE text IS NOT NULL),
     c AS (SELECT doc_id, count(*) AS cnt FROM t GROUP BY doc_id, tok),
     a AS (SELECT doc_id, sum(cnt)::DOUBLE AS n,
                  sum(cnt * log2(cnt::DOUBLE)) AS s
@@ -480,8 +481,13 @@ _ENTROPY_SQL = f"""
 def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc word-unigram entropy + keep flag. Pure projection (the
     sorted-fold in textstats.word_entropy_expr) — zero exchanges, zero
-    Python; asserted in tests/test_entropy.py."""
-    d = read_table(spark, sf_dir, "documents")
+    Python; asserted in tests/test_entropy.py. NULL-text docs are dropped
+    on both sides (the oracle's unnest would silently eliminate them while
+    a bare select would keep a NULL-entropy row — a row-count parity trap
+    if the corpus ever carries NULL text)."""
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     h = ts.word_entropy_expr(F.col("text"))
     return d.select(
         "doc_id",

@@ -61,9 +61,12 @@ def test_keep_flag_matches_rounded_threshold(planted):
 
 
 def test_plan_is_pure_projection(spark, sf_dir):
-    plan = word_entropy(spark, sf_dir)._sc._jvm and word_entropy(
-        spark, sf_dir
-    )._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        word_entropy(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "Exchange" not in plan
     assert "Python" not in plan  # JVM-side fold, no Arrow crossing
 
