@@ -137,6 +137,10 @@ BENCH_QUERIES = [
     "dsir_select",
     "decontaminate_fuzzy",
     "dsir_kl",
+    "source_lang_entropy",
+    "source_overlap",
+    "asof_join_events",
+    "range_join_errors",
     # host_families is correctness-gated but not benched: at toy scale its
     # wall time is ~6 connected-components rounds of fixed per-job overhead
     # over a 187-edge host graph (the engine cost of iterative CC is

@@ -162,3 +162,148 @@ def c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         has_lorem.alias("has_lorem"),
         (~has_brace & ~has_lorem).alias("c4_pass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join — each purchase matched to the user's most recent view at or
+# before it (the point-in-time lookup every feature-store / snapshot-join
+# workload needs; the reference gestures at it with per-dataset time
+# alignment). Spark has no ASOF JOIN, and the naive formulation
+# (theta-join on ts <= ts, keep max) is a BroadcastNestedLoopJoin that goes
+# quadratic per user. The scale-correct composition is union + carry-forward:
+# tag both sides, ONE exchange on user_id, local sort by (ts, side, id),
+# last(ignoreNulls) carries the latest view struct into each purchase row —
+# O(n log n) per partition, zero joins (asserted: one Exchange, no join
+# operator at all). Ties: a view at exactly the purchase ts matches (side
+# orders views first, = ASOF's >=); among equal-ts views the max event_id
+# wins (sort by event_id; the oracle pre-reduces with arg_max so DuckDB's
+# otherwise-unspecified ASOF tie picks the same row).
+# ---------------------------------------------------------------------------
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+_ASOF_SQL = f"""
+    WITH r0 AS (SELECT user_id, ts,
+                       arg_max(event_id, event_id) AS view_event,
+                       arg_max(value, event_id) AS view_value
+                FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+         l AS (SELECT event_id, user_id, ts
+               FROM events WHERE event_type = 'purchase')
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+           r0.view_event,
+           strftime(r0.ts, '{_TS_FMT_DUCK}') AS view_ts,
+           r0.view_value
+    FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND l.ts >= r0.ts
+    """
+
+
+@register("asof_join_events", oracle=_ASOF_SQL)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("sort_id"),
+        F.struct(
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_event"),
+            F.col("value").alias("view_value"),
+        ).alias("v"),
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("sort_id"),
+        F.lit(None).cast(right.schema["v"].dataType).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "sort_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = right.unionByName(left).withColumn(
+        "carried", F.last("v", ignorenulls=True).over(w)
+    )
+    c = F.col("carried")
+    return u.filter(F.col("side") == 1).select(
+        F.col("sort_id").alias("event_id"),
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("purchase_ts"),
+        c["view_event"].alias("view_event"),
+        F.date_format(c["view_ts"], _TS_FMT_SPARK).alias("view_ts"),
+        c["view_value"].alias("view_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketized range join — purchase × error pairs of the same user within
+# ±300 s (the "nearby events" interval-join shape: burst/incident
+# correlation). A raw |Δt| <= W theta-join is a BroadcastNestedLoopJoin —
+# quadratic per user at crawl scale. Bucketizing the time axis at the window
+# width turns it into an EQUI-join: the left side explodes to its 3
+# candidate buckets (b−1, b, b+1 — any |Δt| <= W pair lands in exactly one,
+# so no dedup pass), join on (user_id, bucket), then the exact |Δt| filter.
+# 3× duplication of the smaller projected side buys a hash join (asserted:
+# no BroadcastNestedLoopJoin / CartesianProduct). Seconds come from the
+# truncating unix_timestamp on both engines (floor(epoch()) in DuckDB) so
+# gap_s is integer-exact cross-engine.
+# ---------------------------------------------------------------------------
+
+RANGE_W_S = 300  # half-window, seconds
+
+_RANGE_SQL = f"""
+    WITH l AS (SELECT event_id AS purchase_event, user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS lsec
+               FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT event_id AS error_event, user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS rsec
+               FROM events WHERE event_type = 'error')
+    SELECT l.purchase_event, r.error_event, l.user_id,
+           (l.lsec - r.rsec) AS gap_s
+    FROM l JOIN r ON l.user_id = r.user_id
+                 AND abs(l.lsec - r.rsec) <= {RANGE_W_S}
+    """
+
+
+@register("range_join_errors", oracle=_RANGE_SQL)
+def range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    bkt = F.floor(sec / F.lit(RANGE_W_S))
+    left = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event"),
+            "user_id",
+            sec.alias("lsec"),
+            bkt.alias("b0"),
+        )
+        .select(
+            "purchase_event",
+            "user_id",
+            "lsec",
+            F.explode(
+                F.array(F.col("b0") - 1, F.col("b0"), F.col("b0") + 1)
+            ).alias("bkt"),
+        )
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event"),
+        "user_id",
+        sec.alias("rsec"),
+        bkt.alias("bkt"),
+    )
+    return (
+        left.join(right, ["user_id", "bkt"])
+        .filter(F.abs(F.col("lsec") - F.col("rsec")) <= RANGE_W_S)
+        .select(
+            "purchase_event",
+            "error_event",
+            "user_id",
+            (F.col("lsec") - F.col("rsec")).alias("gap_s"),
+        )
+    )
