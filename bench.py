@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "source_overlap",
     "asof_join_events",
     "range_join_errors",
+    "rolling_user_activity",
     # host_families is correctness-gated but not benched: at toy scale its
     # wall time is ~6 connected-components rounds of fixed per-job overhead
     # over a 187-edge host graph (the engine cost of iterative CC is

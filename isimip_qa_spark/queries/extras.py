@@ -240,6 +240,73 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sliding RANGE-frame window — trailing one hour of activity per user at
+# every event. The moving-aggregate face the window family was missing: W3
+# (histogram_cdf) is the growing cumulative frame, topk_per_group the
+# ranking frame; this is the bounded event-time sliding frame (rate
+# limiting, burst detection, trailing quality). Plan shape: ONE exchange on
+# user_id, local sort, a single Window operator computing both aggregates —
+# no self-join, no second shuffle. Cross-engine parity: the frame is RANGE
+# over truncated epoch SECONDS (ties are peers on both engines, and count /
+# integer-sum are order-free within the frame); the summed metric is
+# floor(value * 64) — ×64 is an exponent shift so the product is exact and
+# floor deterministic — and the trailing mean is ONE division of those two
+# identical integers, bit-identical IEEE-754 on both engines.
+# ---------------------------------------------------------------------------
+
+ROLL_W_S = 3600  # trailing window, seconds (boundary inclusive)
+
+_ROLL_SQL = f"""
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             CAST(floor(value * 64) AS BIGINT) AS v64
+      FROM events
+    )
+    SELECT event_id, user_id, ts_s,
+           count(*) OVER w AS roll_n,
+           CAST(sum(v64) OVER w AS BIGINT) AS roll_v64,
+           CAST(sum(v64) OVER w AS BIGINT) / count(*) OVER w AS roll_avg64
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                 RANGE BETWEEN {ROLL_W_S} PRECEDING AND CURRENT ROW)
+    """
+
+
+@register("rolling_user_activity", oracle=_ROLL_SQL)
+def rolling_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-hour event count, integer activity sum, and mean,
+    evaluated at every event via a RANGE frame over epoch seconds.
+
+    Reference anchor: the per-dataset moving-window views of
+    `/root/reference/isimip_qa/extractions.py` recast as an event-time
+    sliding frame (engine-completeness; the reference has no sliding
+    window — its time axis is resampled, not windowed)."""
+    ev = read_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.floor(F.col("value") * F.lit(64)).alias("v64"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-ROLL_W_S, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("v64").over(w)
+    return rows.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        n.alias("roll_n"),
+        s.alias("roll_v64"),
+        (s / n).alias("roll_avg64"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bucketized range join — purchase × error pairs of the same user within
 # ±300 s (the "nearby events" interval-join shape: burst/incident
 # correlation). A raw |Δt| <= W theta-join is a BroadcastNestedLoopJoin —
