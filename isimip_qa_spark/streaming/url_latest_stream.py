@@ -1,0 +1,172 @@
+"""Streaming latest-capture-per-URL upsert: the streaming twin of batch
+`queries/urlops.py:dedup_url_latest`, maintained incrementally as crawl
+batches arrive.
+
+A recrawl stream continuously revisits known URLs; the "latest capture
+wins" table must be UPSERTED per microbatch, not recomputed. Streaming
+state stores can't hold it (the key set is the whole URL universe), so the
+correct Spark shape is `foreachBatch` + an idempotent MERGE into a
+bucket-partitioned table:
+
+1. Reduce the arriving microbatch to one winner per canonical URL
+   (max capture, min doc_id tie-break — the batch twin's exact ordering)
+   with a hash aggregation on a struct max: no window, no sort.
+2. Bucket = pmod(xxhash64(canon_url), N_BUCKETS). The batch's winners touch
+   a bounded set of buckets; ONLY those bucket partitions of the state
+   table are read (partition-pruned scan), merged, re-reduced, and
+   rewritten. Untouched buckets are never read or written, so per-batch
+   merge cost scales with batch size, not table size — the property that
+   keeps this viable when the latest-table is itself ~10^11 rows.
+3. The rewrite goes through a per-batch staging dir + driver-side atomic
+   directory swap, guarded by a `_last_batch` marker so a foreachBatch
+   REPLAY (Spark re-delivers a batch after failure) is a no-op. On a real
+   deployment the sink is an Iceberg/Delta `MERGE INTO` and steps 2-3 are
+   the table format's copy-on-write commit; the bucket layout, winner
+   reduction, and idempotency contract are identical.
+
+Scale contract: state-table shuffle key is the canonical-url string only
+inside each touched bucket's re-reduction (bounded); the stream plan itself
+is STATELESS (no watermark state — all history lives in the table), and a
+microbatch of b rows costs one hash agg over b rows plus a scan of the
+touched buckets. Reference anchor: isimip_qa/download.py refresh semantics
+(newer remote artifact replaces the cached copy), lifted to per-URL
+streaming granularity."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import SCHEMAS
+from ..queries.urlops import _messy_url_expr
+from ..functions.urlops import canonical_url_expr
+
+N_BUCKETS = 16
+_MARKER = "_last_batch"
+
+
+def _winners(batch: DataFrame) -> DataFrame:
+    """One (canon_url, doc_id, capture, bucket) winner per canonical URL:
+    max capture, min doc_id among capture ties — via a single struct-max
+    hash aggregation (negated doc_id makes the struct max pick the min)."""
+    rows = batch.select(
+        canonical_url_expr(_messy_url_expr()).alias("canon_url"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ((F.col("doc_id").cast("long") * 1000003) % 97).alias("capture"),
+    )
+    return (
+        rows.groupBy("canon_url")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("capture"), (-F.col("doc_id")).alias("neg_doc")
+                )
+            ).alias("w")
+        )
+        .select(
+            "canon_url",
+            (-F.col("w.neg_doc")).alias("doc_id"),
+            F.col("w.capture").alias("capture"),
+            F.pmod(F.xxhash64("canon_url"), F.lit(N_BUCKETS)).alias(
+                "bucket"
+            ),
+        )
+    )
+
+
+def merge_batch(
+    spark: SparkSession, batch: DataFrame, state_dir: str, batch_id: int
+) -> None:
+    """Idempotent MERGE of one microbatch into the latest-capture table."""
+    marker = os.path.join(state_dir, _MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == str(batch_id):
+                return  # foreachBatch replay of an applied batch: no-op
+    new = _winners(batch)
+    touched = sorted(
+        r["bucket"] for r in new.select("bucket").distinct().collect()
+    )  # bounded by N_BUCKETS — never corpus-sized
+    if not touched:
+        return
+    have_state = any(
+        os.path.isdir(os.path.join(state_dir, f"bucket={b}"))
+        for b in touched
+    )
+    if have_state:
+        existing = (
+            spark.read.schema("canon_url string, doc_id long, capture long")
+            .option("basePath", state_dir)
+            .parquet(
+                *[
+                    os.path.join(state_dir, f"bucket={b}")
+                    for b in touched
+                    if os.path.isdir(os.path.join(state_dir, f"bucket={b}"))
+                ]
+            )
+            .select("canon_url", "doc_id", "capture", "bucket")
+        )
+        merged = _winners_of(existing.unionByName(new))
+    else:
+        merged = new
+    staging = os.path.join(state_dir, f".staging-{batch_id}")
+    (
+        merged.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staging)
+    )
+    # driver-side atomic swap of ONLY the touched bucket partitions (the
+    # Iceberg/Delta analogue is the MERGE commit); staged-but-absent buckets
+    # can't occur (merged covers exactly `touched`)
+    for b in touched:
+        src = os.path.join(staging, f"bucket={b}")
+        dst = os.path.join(state_dir, f"bucket={b}")
+        if os.path.isdir(src):
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.replace(src, dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    with open(marker, "w") as fh:
+        fh.write(str(batch_id))
+
+
+def _winners_of(rows: DataFrame) -> DataFrame:
+    """Re-reduce already-keyed (canon_url, doc_id, capture, bucket) rows."""
+    return (
+        rows.groupBy("canon_url", "bucket")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("capture"), (-F.col("doc_id")).alias("neg_doc")
+                )
+            ).alias("w")
+        )
+        .select(
+            "canon_url",
+            (-F.col("w.neg_doc")).alias("doc_id"),
+            F.col("w.capture").alias("capture"),
+            "bucket",
+        )
+    )
+
+
+def url_latest_stream(spark: SparkSession, src_dir: str, state_dir: str):
+    """Maintain `{state_dir}/bucket=*/` = latest capture per canonical URL
+    over a stream of document batches. Returns the StreamingQuery
+    (availableNow trigger; rerun after new files arrive to catch up)."""
+    os.makedirs(state_dir, exist_ok=True)
+    docs = spark.readStream.schema(SCHEMAS["documents"]).parquet(src_dir)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        merge_batch(spark, batch, state_dir, batch_id)
+
+    return (
+        docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", f"{state_dir}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
