@@ -102,6 +102,18 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CAPTURE_SQL = "(doc_id::BIGINT * 1000003) % 97"
 
 
+def capture_rows(docs: DataFrame) -> DataFrame:
+    """(canon_url, doc_id, capture) projection shared by the batch
+    `dedup_url_latest` and the streaming upsert twin
+    (streaming/url_latest_stream.py) — ONE definition of the capture stamp
+    and URL identity, so the two can never silently diverge."""
+    return docs.select(
+        canonical_url_expr(_messy_url_expr()).alias("canon_url"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ((F.col("doc_id").cast("long") * 1000003) % 97).alias("capture"),
+    )
+
+
 @register(
     "dedup_url_latest",
     oracle=f"""
@@ -121,13 +133,7 @@ def dedup_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-capture-wins URL dedup: one row per canonical URL, the row
     with the newest capture stamp (doc_id tie-break). The recrawl-refresh
     primitive that precedes content dedup."""
-    d = read_table(spark, sf_dir, "documents")
-    url = _messy_url_expr()
-    rows = d.select(
-        canonical_url_expr(url).alias("canon_url"),
-        "doc_id",
-        ((F.col("doc_id").cast("long") * 1000003) % 97).alias("capture"),
-    )
+    rows = capture_rows(read_table(spark, sf_dir, "documents"))
     w = Window.partitionBy("canon_url").orderBy(
         F.col("capture").desc(), F.col("doc_id")
     )

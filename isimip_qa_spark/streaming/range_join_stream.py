@@ -25,8 +25,8 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import SCHEMAS
+from ..queries.extras import RANGE_W_S  # the batch twin's half-window
 
-RANGE_W_S = 300  # half-window, seconds — matches the batch twin
 WATERMARK = "1 hour"
 
 
@@ -39,9 +39,13 @@ def range_join_stream(
 ):
     """Append (purchase_event, error_event, user_id, gap_s) rows to
     `{out_dir}/pairs`. Returns the StreamingQuery (availableNow)."""
+    # null event-time rows must not reach the join state store: the
+    # eviction predicate is NULL for them, so they would never be evicted
+    # (session_stream.py applies the same guard for the same reason)
     left = (
         spark.readStream.schema(SCHEMAS["events"])
         .parquet(src_dir)
+        .filter(F.col("ts").isNotNull())
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_event"),
@@ -53,6 +57,7 @@ def range_join_stream(
     right = (
         spark.readStream.schema(SCHEMAS["events"])
         .parquet(src_dir)
+        .filter(F.col("ts").isNotNull())
         .filter(F.col("event_type") == "error")
         .select(
             F.col("event_id").alias("error_event"),

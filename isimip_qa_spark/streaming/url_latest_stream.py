@@ -9,20 +9,26 @@ correct Spark shape is `foreachBatch` + an idempotent MERGE into a
 bucket-partitioned table:
 
 1. Reduce the arriving microbatch to one winner per canonical URL
-   (max capture, min doc_id tie-break — the batch twin's exact ordering)
-   with a hash aggregation on a struct max: no window, no sort.
+   (max capture, min doc_id tie-break — the batch twin's exact ordering,
+   via the SHARED `urlops.capture_rows` projection) with a hash
+   aggregation on a struct max: no window, no sort.
 2. Bucket = pmod(xxhash64(canon_url), N_BUCKETS). The batch's winners touch
    a bounded set of buckets; ONLY those bucket partitions of the state
    table are read (partition-pruned scan), merged, re-reduced, and
    rewritten. Untouched buckets are never read or written, so per-batch
    merge cost scales with batch size, not table size — the property that
    keeps this viable when the latest-table is itself ~10^11 rows.
-3. The rewrite goes through a per-batch staging dir + driver-side atomic
-   directory swap, guarded by a `_last_batch` marker so a foreachBatch
-   REPLAY (Spark re-delivers a batch after failure) is a no-op. On a real
-   deployment the sink is an Iceberg/Delta `MERGE INTO` and steps 2-3 are
-   the table format's copy-on-write commit; the bucket layout, winner
-   reduction, and idempotency contract are identical.
+3. The rewrite is crash-safe: staged write, then per-bucket swap that
+   RENAMES the old partition aside before renaming the staged one in —
+   old rows always live in either `bucket=N` or the `.old-*` aside dir,
+   never deleted before the replacement is in place. A `_last_batch`
+   marker makes a foreachBatch REPLAY of an applied batch a no-op, and an
+   interrupted swap is rolled forward on the next merge (restore missing
+   buckets from the aside dir; re-merging over an already-merged bucket is
+   idempotent because the winner reduction is). On a real deployment the
+   sink is an Iceberg/Delta `MERGE INTO` and steps 2-3 are the table
+   format's copy-on-write commit; the bucket layout, winner reduction, and
+   idempotency contract are identical.
 
 Scale contract: state-table shuffle key is the canonical-url string only
 inside each touched bucket's re-reduction (bounded); the stream plan itself
@@ -41,101 +47,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import SCHEMAS
-from ..queries.urlops import _messy_url_expr
-from ..functions.urlops import canonical_url_expr
+from ..queries.urlops import capture_rows
 
 N_BUCKETS = 16
 _MARKER = "_last_batch"
 
 
-def _winners(batch: DataFrame) -> DataFrame:
-    """One (canon_url, doc_id, capture, bucket) winner per canonical URL:
-    max capture, min doc_id among capture ties — via a single struct-max
-    hash aggregation (negated doc_id makes the struct max pick the min)."""
-    rows = batch.select(
-        canonical_url_expr(_messy_url_expr()).alias("canon_url"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        ((F.col("doc_id").cast("long") * 1000003) % 97).alias("capture"),
+def _bucketed(rows: DataFrame) -> DataFrame:
+    return rows.withColumn(
+        "bucket", F.pmod(F.xxhash64("canon_url"), F.lit(N_BUCKETS))
     )
-    return (
-        rows.groupBy("canon_url")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("capture"), (-F.col("doc_id")).alias("neg_doc")
-                )
-            ).alias("w")
-        )
-        .select(
-            "canon_url",
-            (-F.col("w.neg_doc")).alias("doc_id"),
-            F.col("w.capture").alias("capture"),
-            F.pmod(F.xxhash64("canon_url"), F.lit(N_BUCKETS)).alias(
-                "bucket"
-            ),
-        )
-    )
-
-
-def merge_batch(
-    spark: SparkSession, batch: DataFrame, state_dir: str, batch_id: int
-) -> None:
-    """Idempotent MERGE of one microbatch into the latest-capture table."""
-    marker = os.path.join(state_dir, _MARKER)
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            if fh.read().strip() == str(batch_id):
-                return  # foreachBatch replay of an applied batch: no-op
-    new = _winners(batch)
-    touched = sorted(
-        r["bucket"] for r in new.select("bucket").distinct().collect()
-    )  # bounded by N_BUCKETS — never corpus-sized
-    if not touched:
-        return
-    have_state = any(
-        os.path.isdir(os.path.join(state_dir, f"bucket={b}"))
-        for b in touched
-    )
-    if have_state:
-        existing = (
-            spark.read.schema("canon_url string, doc_id long, capture long")
-            .option("basePath", state_dir)
-            .parquet(
-                *[
-                    os.path.join(state_dir, f"bucket={b}")
-                    for b in touched
-                    if os.path.isdir(os.path.join(state_dir, f"bucket={b}"))
-                ]
-            )
-            .select("canon_url", "doc_id", "capture", "bucket")
-        )
-        merged = _winners_of(existing.unionByName(new))
-    else:
-        merged = new
-    staging = os.path.join(state_dir, f".staging-{batch_id}")
-    (
-        merged.repartition("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(staging)
-    )
-    # driver-side atomic swap of ONLY the touched bucket partitions (the
-    # Iceberg/Delta analogue is the MERGE commit); staged-but-absent buckets
-    # can't occur (merged covers exactly `touched`)
-    for b in touched:
-        src = os.path.join(staging, f"bucket={b}")
-        dst = os.path.join(state_dir, f"bucket={b}")
-        if os.path.isdir(src):
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            os.replace(src, dst)
-    shutil.rmtree(staging, ignore_errors=True)
-    with open(marker, "w") as fh:
-        fh.write(str(batch_id))
 
 
 def _winners_of(rows: DataFrame) -> DataFrame:
-    """Re-reduce already-keyed (canon_url, doc_id, capture, bucket) rows."""
+    """Reduce (canon_url, doc_id, capture, bucket) rows to one winner per
+    canonical URL: max capture, min doc_id among capture ties — a single
+    struct-max hash aggregation (negated doc_id makes the max pick the
+    min). Grouping by (canon_url, bucket) is equivalent to canon_url alone
+    (bucket is a pure function of it) and keeps the partition column."""
     return (
         rows.groupBy("canon_url", "bucket")
         .agg(
@@ -152,6 +81,87 @@ def _winners_of(rows: DataFrame) -> DataFrame:
             "bucket",
         )
     )
+
+
+def _recover_interrupted_swap(state_dir: str) -> None:
+    """Roll an interrupted per-bucket swap forward: any bucket still in an
+    aside dir but missing from the table is restored (its swap never
+    completed); buckets present in BOTH places keep the table copy (their
+    swap completed — the aside copy is superseded). Then the aside dirs go
+    away. Re-merging the triggering batch afterwards is idempotent."""
+    for d in os.listdir(state_dir):
+        if not d.startswith(".old-"):
+            continue
+        aside = os.path.join(state_dir, d)
+        for b in os.listdir(aside):
+            dst = os.path.join(state_dir, b)
+            if not os.path.isdir(dst):
+                os.replace(os.path.join(aside, b), dst)
+        shutil.rmtree(aside, ignore_errors=True)
+
+
+def merge_batch(
+    spark: SparkSession, batch: DataFrame, state_dir: str, batch_id: int
+) -> None:
+    """Idempotent MERGE of one microbatch into the latest-capture table."""
+    marker = os.path.join(state_dir, _MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == str(batch_id):
+                return  # foreachBatch replay of an applied batch: no-op
+    _recover_interrupted_swap(state_dir)
+    new = _winners_of(_bucketed(capture_rows(batch))).persist()
+    try:
+        touched = sorted(
+            r["bucket"] for r in new.select("bucket").distinct().collect()
+        )  # bounded by N_BUCKETS — never corpus-sized
+        if not touched:
+            return
+        existing_dirs = [
+            os.path.join(state_dir, f"bucket={b}")
+            for b in touched
+            if os.path.isdir(os.path.join(state_dir, f"bucket={b}"))
+        ]
+        if existing_dirs:
+            existing = (
+                spark.read.schema(
+                    "canon_url string, doc_id long, capture long"
+                )
+                .option("basePath", state_dir)
+                .parquet(*existing_dirs)
+                .select("canon_url", "doc_id", "capture", "bucket")
+            )
+            merged = _winners_of(existing.unionByName(new))
+        else:
+            merged = new
+        staging = os.path.join(state_dir, f".staging-{batch_id}")
+        (
+            merged.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staging)
+        )
+    finally:
+        new.unpersist()
+    # crash-safe swap of ONLY the touched bucket partitions (the
+    # Iceberg/Delta analogue is the MERGE commit): old partition renamed
+    # ASIDE (never deleted first), staged partition renamed in, aside dirs
+    # dropped only after every bucket is in place. A crash at any point
+    # leaves each bucket's previous rows in exactly one of the two dirs,
+    # and _recover_interrupted_swap + idempotent re-merge finish the job.
+    aside = os.path.join(state_dir, f".old-{batch_id}")
+    os.makedirs(aside, exist_ok=True)
+    for b in touched:
+        src = os.path.join(staging, f"bucket={b}")
+        dst = os.path.join(state_dir, f"bucket={b}")
+        if os.path.isdir(src):
+            if os.path.isdir(dst):
+                os.replace(dst, os.path.join(aside, f"bucket={b}"))
+            os.replace(src, dst)
+    shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    with open(marker, "w") as fh:
+        fh.write(str(batch_id))
 
 
 def url_latest_stream(spark: SparkSession, src_dir: str, state_dir: str):

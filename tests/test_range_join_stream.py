@@ -19,7 +19,7 @@ def test_range_join_stream_matches_batch(spark, tmp_path):
     out = str(tmp_path / "out")
 
     q = range_join_stream(spark, src, out)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in time"
 
     got = {
         (r.purchase_event, r.error_event, r.user_id, r.gap_s)

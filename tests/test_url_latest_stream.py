@@ -73,7 +73,7 @@ def dirs(tmp_path):
 
 def _run(spark, src, state):
     q = url_latest_stream(spark, f"{src}/documents.parquet", state)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
 
 
 def test_stream_equals_batch_and_untouched_buckets_survive(spark, dirs):
@@ -99,6 +99,35 @@ def test_stream_equals_batch_and_untouched_buckets_survive(spark, dirs):
     # the 20-doc batch cannot have touched every one of the 16 buckets'
     # worth of state written by 400 docs — some partitions must be intact
     assert untouched, f"every bucket rewritten: {sorted(after)}"
+
+
+def test_interrupted_swap_recovers_without_losing_rows(spark, dirs):
+    """Crash between 'rename old bucket aside' and 'rename staged bucket
+    in' must not lose the bucket's pre-existing rows: the next merge rolls
+    the swap forward from the aside dir, and re-merging is idempotent."""
+    src, state = dirs
+    os.makedirs(state, exist_ok=True)
+    _docs(spark, range(0, 400)).coalesce(1).write.mode("append").parquet(
+        f"{src}/documents.parquet"
+    )
+    merge_batch(spark, _docs(spark, range(0, 400)), state, batch_id=0)
+
+    # simulate the crash: batch 1's swap moved one populated bucket aside
+    # and died before renaming the staged replacement in
+    victim = next(
+        d for d in sorted(os.listdir(state)) if d.startswith("bucket=")
+    )
+    aside = os.path.join(state, ".old-1")
+    os.makedirs(aside)
+    os.replace(os.path.join(state, victim), os.path.join(aside, victim))
+
+    # replayed batch 1: recovery restores the bucket, then merges
+    _docs(spark, range(400, 420)).coalesce(1).write.mode("append").parquet(
+        f"{src}/documents.parquet"
+    )
+    merge_batch(spark, _docs(spark, range(400, 420)), state, batch_id=1)
+    assert not os.path.isdir(aside)
+    assert _state_rows(spark, state) == _batch_rows(spark, src)
 
 
 def test_replayed_batch_is_noop(spark, dirs):
