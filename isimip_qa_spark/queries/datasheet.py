@@ -227,15 +227,23 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # choosing mixture weights; exact cross-source duplicates are rare, shared
 # boilerplate/content is not, so the unit is the 3-gram shingle, not the doc.
 #
-# Scale shape: distinct (source, shingle-hash) is one map-side-combining
-# exchange on an (id, 8-byte) key; the self-join fans each shingle to at
-# most n_sources² rows — n_sources is a CATALOG dimension (tens, not
-# doc-scale), so total join output is O(|shingles| · n_sources²), linear in
-# the corpus; the two size lookups broadcast. Spark joins on xxhash64 of the
-# shingle (8 bytes, never the string) — Jaccard over hash sets equals
-# string-set Jaccard modulo ~|shingles|²/2⁶⁴ collisions, and the DuckDB twin
-# (string shingles, unnest → DISTINCT → self-join) is collision-exact, so a
-# collision would surface as an oracle mismatch (same accepted tolerance as
+# Scale shape: ONE corpus-scale exchange total. Rather than distinct
+# (source, shingle) + a self-join on the shingle key (two corpus-wide
+# exchanges: one for the distinct, one to co-locate the join), group the
+# exploded shingles by their 8-byte hash once and collect the per-key
+# SOURCE SET — bounded by the catalog dimension (tens of sources), never
+# doc-scale, so the map-side partial sets stay tiny no matter how hot the
+# shingle. Every (a ≤ b) source pair is then expanded key-locally; the
+# diagonal (a, a) counts each key once per member source, so the SAME tiny
+# (a, b) aggregate yields both the pairwise intersections and the
+# per-source set sizes — Catalyst shares the whole corpus-scale subtree
+# between the two consumers via ReusedExchange (the final count over the
+# tiny (a, b) exchange is the only duplicated work). The two size lookups
+# broadcast. Spark keys on xxhash64 of the shingle (8 bytes, never the
+# string) — Jaccard over hash sets equals string-set Jaccard modulo
+# ~|shingles|²/2⁶⁴ collisions, and the DuckDB twin (string shingles,
+# unnest → DISTINCT → self-join) is collision-exact, so a collision would
+# surface as an oracle mismatch (same accepted tolerance as
 # dedup_ngram_jaccard).
 # ---------------------------------------------------------------------------
 
@@ -266,29 +274,55 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     e = d.select(
         "source",
-        # shingles_expr output is already distinct per doc; the row-level
-        # .distinct() below collapses any residual per-doc hash collision
         F.explode(
             F.transform(
                 shingles_expr(ts.tokens_expr(F.col("text"))),
                 lambda s: F.xxhash64(s),
             )
         ).alias("k"),
-    ).distinct()
-    sz = e.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        e.alias("a")
-        .join(e.alias("b"), "k")
-        .filter(F.col("a.source") < F.col("b.source"))
+    )
+    # one exchange on the 8-byte key; collect_set dedups (source, k) pairs
+    # both map-side and finally, and its size is catalog-bounded
+    by_k = e.groupBy("k").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    # all (a, b) pairs with a <= b from the sorted per-key source set; the
+    # diagonal (a, a) makes this one aggregate also count per-source sizes
+    srcs = F.col("srcs")
+    pairs = F.flatten(
+        F.transform(
+            srcs,
+            lambda a, i: F.transform(
+                F.slice(srcs, i + F.lit(1), F.size(srcs) - i),
+                lambda b: F.struct(
+                    a.alias("source_a"), b.alias("source_b")
+                ),
+            ),
+        )
+    )
+    res = (
+        by_k.select(F.explode(pairs).alias("p"))
         .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    na = sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
-    nb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
-    out = inter.join(F.broadcast(na), "source_a").join(F.broadcast(nb), "source_b")
+    # attach the diagonal sizes with two windows over the TINY (a, b)
+    # aggregate (n_sources² rows) — sequential single-lineage plan, so the
+    # corpus-scale subtree is computed exactly once (a filter/join split
+    # into size + intersection branches would recompute it per branch:
+    # exchange reuse does not fire across these lambda-bearing subtrees)
+    from pyspark.sql import Window
+
+    diag = F.max(
+        F.when(F.col("source_a") == F.col("source_b"), F.col("shared"))
+    )
+    out = res.withColumn(
+        "n_a", diag.over(Window.partitionBy("source_a"))
+    ).withColumn("n_b", diag.over(Window.partitionBy("source_b"))).filter(
+        F.col("source_a") < F.col("source_b")
+    )
     jac = F.col("shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("shared")
     ).cast("double")

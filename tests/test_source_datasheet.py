@@ -37,16 +37,20 @@ def test_overlap_analytic(spark, planted_dir):
     assert got == {("srcA", "srcB"): (1, round(1 / 3, 6))}
 
 
-def test_overlap_size_joins_broadcast(spark, planted_dir):
+def test_overlap_single_scan_no_join(spark, planted_dir):
     plan = (
         source_overlap(spark, planted_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    # both size lookups must broadcast (plus, at this scale, AQE may also
-    # broadcast the shingle self-join side — hence >= 2, not == 2)
-    assert plan.count("BroadcastHashJoin") >= 2
+    # the whole matrix comes from ONE corpus pass: one scan, one
+    # corpus-scale exchange (by shingle hash), zero joins — sizes attach
+    # via windows over the tiny (a, b) aggregate, whose exchanges are
+    # keyed on source columns (catalog-sized, not corpus-sized)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(k#") == 1
 
 
 def test_lang_entropy_analytic(spark, planted_dir):
