@@ -378,3 +378,128 @@ def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("lang_entropy"),
         (h >= F.lit(MIXED_LANG_MIN)).alias("mixed_lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-slope fit + top-k vocabulary coverage: the two token-frequency-
+# spectrum entries on a crawl datasheet. A healthy natural-language crawl
+# has log-frequency ≈ slope · log-rank + intercept with slope ≈ −1 over the
+# head of the vocabulary; machine-generated or template spam bends the
+# curve, so the fitted slope/R² is a cheap corpus-level anomaly flag
+# (complement of the per-source entropy flags above). Coverage@k (what
+# fraction of all token occurrences the k most frequent types explain)
+# is the standard tokenizer-budget planning stat.
+#
+# Scale shape: ONE corpus-scale exchange (token counts, map-side combined,
+# vocab-sized output); the head extraction is orderBy(...).limit(V) —
+# Spark's TakeOrderedAndProject, a per-partition partial top-V merged on
+# the driver, NEVER a global sort of the vocabulary; the fit/coverage then
+# run on ≤ V rows (single tiny task). vocab_coverage's total-token count
+# is a second map-only scan (projects only `text`, no explode, no
+# exchange) broadcast into the tiny side. The fit regresses ln(cnt) on
+# ln(rank) with both engines rounding to 6 decimals (the established
+# cross-engine float discipline; regr_* aggregates agree to ~1e-12 on
+# ≤ V points).
+# ---------------------------------------------------------------------------
+
+V_FIT = 1000  # fit/coverage head width: Zipf holds in the head, and the
+COVERAGE_KS = (10, 100, 1000)  # tail flattens into hapax noise
+
+
+_ZIPF_SQL = f"""
+    WITH c AS (SELECT w, count(*)::BIGINT AS cnt
+               FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
+               GROUP BY w),
+    t AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk
+          FROM c ORDER BY cnt DESC, w LIMIT {V_FIT})
+    SELECT round(regr_slope(ln(cnt), ln(rnk)), 6) AS zipf_slope,
+           round(regr_intercept(ln(cnt), ln(rnk)), 6) AS zipf_intercept,
+           round(regr_r2(ln(cnt), ln(rnk)), 6) AS r2,
+           count(*)::BIGINT AS n_fit
+    FROM t
+    """
+
+
+def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(ts.tokens_expr(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _ranked_head(spark: SparkSession, sf_dir: str, v: int) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    top = _token_counts(spark, sf_dir).orderBy(
+        F.col("cnt").desc(), "w"
+    ).limit(v)
+    return top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "w"))
+    )
+
+
+@register("zipf_fit", _ZIPF_SQL)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: OLS fit of ln(count) on ln(rank) over the top-V_FIT token
+    types (slope, intercept, R², points fitted)."""
+    ranked = _ranked_head(spark, sf_dir, V_FIT)
+    ly = F.log(F.col("cnt").cast("double"))
+    lx = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(ly, lx), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ly, lx), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(ly, lx), 6).alias("r2"),
+        F.count(F.lit(1)).cast("long").alias("n_fit"),
+    )
+
+
+_COV_SQL = f"""
+    WITH c AS (SELECT w, count(*)::BIGINT AS cnt
+               FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
+               GROUP BY w),
+    t AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk
+          FROM c ORDER BY cnt DESC, w LIMIT {max(COVERAGE_KS)}),
+    cum AS (SELECT rnk, sum(cnt) OVER (ORDER BY rnk) AS cum FROM t),
+    tot AS (SELECT sum(len({_TOKENS_SQL}))::DOUBLE AS total FROM documents)
+    SELECT rnk AS k, CAST(cum AS BIGINT) AS cum_tokens,
+           round(cum / total, 6) AS coverage
+    FROM cum, tot WHERE rnk IN {COVERAGE_KS}
+    ORDER BY k
+    """
+
+
+@register("vocab_coverage", _COV_SQL)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, cum_tokens, coverage) at k in COVERAGE_KS: the fraction of all
+    token occurrences explained by the k most frequent types."""
+    from pyspark.sql.window import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    ranked = _ranked_head(spark, sf_dir, max(COVERAGE_KS))
+    cum = ranked.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("rnk").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    total = d.agg(
+        F.sum(F.size(ts.tokens_expr(F.col("text"))).cast("long"))
+        .cast("double")
+        .alias("total")
+    )
+    return (
+        cum.filter(F.col("rnk").isin(list(COVERAGE_KS)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rnk").cast("long").alias("k"),
+            F.col("cum").cast("long").alias("cum_tokens"),
+            F.round(F.col("cum").cast("double") / F.col("total"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("k")
+    )
