@@ -711,3 +711,121 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= SAMPLE_QUOTA)
         .select("cell", "vec_id", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-accuracy eval: hold out every HOLD_MOD-th vector, predict its
+# label by majority vote among its K_NN cosine-nearest TRAIN vectors, and
+# report per-label accuracy — the standard embedding-space audit before
+# trusting labels for quality transfer / label propagation over a crawl
+# (a label whose region of embedding space is not self-consistent under
+# kNN is not safe to propagate).
+#
+# Scale shape: the holdout is an EVAL-SIZED set by construction, so it
+# broadcasts; the train side is columnar-scanned once (broadcast
+# nested-loop, the ann_cosine_topk contract). Candidate (train × holdout)
+# rows carry only (ids, label, sim) — never the vectors — into the
+# per-query top-k window keyed on query_id; votes and the accuracy rollup
+# are label-cardinality-sized hash aggs. Ties are deterministic on both
+# engines: neighbors on (sim DESC, vec_id), votes on (count DESC, label).
+# ---------------------------------------------------------------------------
+
+HOLD_MOD = 5  # vec_id % HOLD_MOD == 0 → holdout/eval side
+K_NN = 5
+
+
+@register(
+    "knn_label_accuracy",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {_EMB_D_SQL} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv
+          FROM e WHERE vec_id % {HOLD_MOD} = 0),
+    t AS (SELECT vec_id, label, v FROM e WHERE vec_id % {HOLD_MOD} <> 0),
+    sims AS (
+      SELECT q.query_id, q.true_label, t.label AS nlabel, t.vec_id AS nid,
+             {_dot_sql('q.qv', 't.v')} /
+               (sqrt({_dot_sql('q.qv', 'q.qv')}) * sqrt({_dot_sql('t.v', 't.v')})) AS sim
+      FROM q CROSS JOIN t
+    ),
+    ranked AS (
+      SELECT query_id, true_label, nlabel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, nid) AS rnk
+      FROM sims
+    ),
+    votes AS (
+      SELECT query_id, true_label, nlabel, count(*) AS c
+      FROM ranked WHERE rnk <= {K_NN} GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT query_id, true_label, nlabel AS pred_label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, nlabel) AS pr
+      FROM votes
+    )
+    SELECT true_label AS label,
+           count(*)::BIGINT AS n_eval,
+           sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::BIGINT
+             AS n_correct,
+           round(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS accuracy
+    FROM pred WHERE pr = 1
+    GROUP BY true_label ORDER BY label
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_eval, n_correct, accuracy): per-label holdout accuracy of
+    K_NN-majority-vote label prediction in embedding space."""
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_d("embedding").alias("v")
+    )
+    hold = F.pmod(F.col("vec_id"), F.lit(HOLD_MOD)) == 0
+    q = e.filter(hold).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+    )
+    t = spread(e.filter(~hold), "vec_id")
+    sims = t.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "true_label",
+        F.col("label").alias("nlabel"),
+        F.col("vec_id").alias("nid"),
+        (
+            _dot(F.col("qv"), F.col("v"))
+            / (
+                F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(_dot(F.col("v"), F.col("v")))
+            )
+        ).alias("sim"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nid"))
+    votes = (
+        sims.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= K_NN)
+        .groupBy("query_id", "true_label", "nlabel")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("nlabel"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wv))
+        .filter(F.col("pr") == 1)
+        .select("query_id", "true_label", F.col("nlabel").alias("pred_label"))
+    )
+    correct = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(correct).cast("long").alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_eval",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_eval"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
