@@ -142,6 +142,9 @@ BENCH_QUERIES = [
     "asof_join_events",
     "range_join_errors",
     "rolling_user_activity",
+    "zipf_fit",
+    "vocab_coverage",
+    "knn_label_accuracy",
     # host_families is correctness-gated but not benched: at toy scale its
     # wall time is ~6 connected-components rounds of fixed per-job overhead
     # over a 187-edge host graph (the engine cost of iterative CC is

@@ -89,6 +89,15 @@ def _vec_d(col: str) -> Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
+def _cosine(a: Column, b: Column) -> Column:
+    """THE cosine-similarity expression every ranking query shares —
+    left-to-right fold dot over pre-widened vectors, norms via the same
+    fold — one definition so the cross-engine float discipline (fold
+    order, widen-before-arithmetic) cannot silently diverge between
+    queries."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
 def _plane_sql(p: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in p) + "]"
 
@@ -134,13 +143,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (
-                _dot(F.col("qv"), F.col("v"))
-                / (
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("v"), F.col("v")))
-                )
-            ).alias("sim"),
+            _cosine(F.col("qv"), F.col("v")).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -242,13 +245,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        (
-            _dot(F.col("qv"), F.col("v"))
-            / (
-                F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                * F.sqrt(_dot(F.col("v"), F.col("v")))
-            )
-        ).alias("sim"),
+        _cosine(F.col("qv"), F.col("v")).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -300,10 +297,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     pairs = cands.join(a, "id_a").join(b, "id_b")
-    sim = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va")))
-        * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-    )
+    sim = _cosine(F.col("va"), F.col("vb"))
     return (
         pairs.withColumn("sim", sim)
         .filter(F.col("sim") >= DUP_COS_THRESHOLD)
@@ -360,10 +354,7 @@ def dedup_embedding_cosine_multiprobe(spark: SparkSession, sf_dir: str) -> DataF
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     pairs = cands.join(a, "id_a").join(b, "id_b")
-    sim = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va")))
-        * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-    )
+    sim = _cosine(F.col("va"), F.col("vb"))
     return (
         pairs.withColumn("sim", sim)
         .filter(F.col("sim") >= DUP_COS_THRESHOLD)
@@ -524,13 +515,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        (
-            _dot(F.col("qv"), F.col("v"))
-            / (
-                F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                * F.sqrt(_dot(F.col("v"), F.col("v")))
-            )
-        ).alias("sim"),
+        _cosine(F.col("qv"), F.col("v")).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -583,13 +568,7 @@ def semantic_pairs(e: DataFrame, cids, cvecs,
         cands.join(a, "id_a").join(b, "id_b")
         .select(
             "id_a", "id_b",
-            (
-                _dot(F.col("va"), F.col("vb"))
-                / (
-                    F.sqrt(_dot(F.col("va"), F.col("va")))
-                    * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-                )
-            ).alias("sim"),
+            _cosine(F.col("va"), F.col("vb")).alias("sim"),
         )
     )
     return sims.filter(F.col("sim") >= threshold).select(
@@ -696,13 +675,7 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cell",
             "vec_id",
-            (
-                _dot(F.col("v"), F.col("cv"))
-                / (
-                    F.sqrt(_dot(F.col("v"), F.col("v")))
-                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-                )
-            ).alias("sim"),
+            _cosine(F.col("v"), F.col("cv")).alias("sim"),
         )
     )
     w = Window.partitionBy("cell").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -714,23 +687,27 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# kNN label-accuracy eval: hold out every HOLD_MOD-th vector, predict its
-# label by majority vote among its K_NN cosine-nearest TRAIN vectors, and
-# report per-label accuracy — the standard embedding-space audit before
-# trusting labels for quality transfer / label propagation over a crawl
-# (a label whose region of embedding space is not self-consistent under
-# kNN is not safe to propagate).
+# kNN label-accuracy eval: hold out a FIXED-SIZE eval set (the first
+# KNN_EVAL_N vec_ids — a constant, like ann_cosine_topk's N_QUERIES, never
+# a fraction of the table), predict each held-out label by majority vote
+# among its K_NN cosine-nearest TRAIN vectors, and report per-label
+# accuracy — the standard embedding-space audit before trusting labels for
+# quality transfer / label propagation over a crawl (a label whose region
+# of embedding space is not self-consistent under kNN is not safe to
+# propagate).
 #
-# Scale shape: the holdout is an EVAL-SIZED set by construction, so it
-# broadcasts; the train side is columnar-scanned once (broadcast
-# nested-loop, the ann_cosine_topk contract). Candidate (train × holdout)
-# rows carry only (ids, label, sim) — never the vectors — into the
-# per-query top-k window keyed on query_id; votes and the accuracy rollup
-# are label-cardinality-sized hash aggs. Ties are deterministic on both
+# Scale shape: the eval set is CONSTANT-sized by construction (KNN_EVAL_N
+# rows — broadcasting a fraction of the table would ship O(N) vectors to
+# every executor and emit O(N²) candidates), so it broadcasts; the train
+# side is columnar-scanned once (broadcast nested-loop, the
+# ann_cosine_topk contract). Candidate (train × eval) rows carry only
+# (ids, label, sim) — never the vectors — into the per-query top-k window
+# keyed on query_id; votes and the accuracy rollup are
+# label-cardinality-sized hash aggs. Ties are deterministic on both
 # engines: neighbors on (sim DESC, vec_id), votes on (count DESC, label).
 # ---------------------------------------------------------------------------
 
-HOLD_MOD = 5  # vec_id % HOLD_MOD == 0 → holdout/eval side
+KNN_EVAL_N = 100  # vec_id < KNN_EVAL_N → fixed-size holdout/eval side
 K_NN = 5
 
 
@@ -739,8 +716,8 @@ K_NN = 5
     oracle=f"""
     WITH e AS (SELECT vec_id, label, {_EMB_D_SQL} AS v FROM embeddings),
     q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv
-          FROM e WHERE vec_id % {HOLD_MOD} = 0),
-    t AS (SELECT vec_id, label, v FROM e WHERE vec_id % {HOLD_MOD} <> 0),
+          FROM e WHERE vec_id < {KNN_EVAL_N}),
+    t AS (SELECT vec_id, label, v FROM e WHERE vec_id >= {KNN_EVAL_N}),
     sims AS (
       SELECT q.query_id, q.true_label, t.label AS nlabel, t.vec_id AS nid,
              {_dot_sql('q.qv', 't.v')} /
@@ -779,7 +756,7 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _vec_d("embedding").alias("v")
     )
-    hold = F.pmod(F.col("vec_id"), F.lit(HOLD_MOD)) == 0
+    hold = F.col("vec_id") < KNN_EVAL_N
     q = e.filter(hold).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
@@ -791,13 +768,7 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_label",
         F.col("label").alias("nlabel"),
         F.col("vec_id").alias("nid"),
-        (
-            _dot(F.col("qv"), F.col("v"))
-            / (
-                F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                * F.sqrt(_dot(F.col("v"), F.col("v")))
-            )
-        ).alias("sim"),
+        _cosine(F.col("qv"), F.col("v")).alias("sim"),
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nid"))
     votes = (

@@ -395,8 +395,8 @@ def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark's TakeOrderedAndProject, a per-partition partial top-V merged on
 # the driver, NEVER a global sort of the vocabulary; the fit/coverage then
 # run on ≤ V rows (single tiny task). vocab_coverage's total-token count
-# is a second map-only scan (projects only `text`, no explode, no
-# exchange) broadcast into the tiny side. The fit regresses ln(cnt) on
+# is sum(cnt) over the SAME counts aggregate (ReusedExchange shares the
+# corpus-scale exchange; asserted). The fit regresses ln(cnt) on
 # ln(rank) with both engines rounding to 6 decimals (the established
 # cross-engine float discipline; regr_* aggregates agree to ~1e-12 on
 # ≤ V points).
@@ -462,7 +462,7 @@ _COV_SQL = f"""
     t AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk
           FROM c ORDER BY cnt DESC, w LIMIT {max(COVERAGE_KS)}),
     cum AS (SELECT rnk, sum(cnt) OVER (ORDER BY rnk) AS cum FROM t),
-    tot AS (SELECT sum(len({_TOKENS_SQL}))::DOUBLE AS total FROM documents)
+    tot AS (SELECT sum(cnt)::DOUBLE AS total FROM c)
     SELECT rnk AS k, CAST(cum AS BIGINT) AS cum_tokens,
            round(cum / total, 6) AS coverage
     FROM cum, tot WHERE rnk IN {COVERAGE_KS}
@@ -476,7 +476,6 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     token occurrences explained by the k most frequent types."""
     from pyspark.sql.window import Window
 
-    d = read_table(spark, sf_dir, "documents")
     ranked = _ranked_head(spark, sf_dir, max(COVERAGE_KS))
     cum = ranked.withColumn(
         "cum",
@@ -486,10 +485,13 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    total = d.agg(
-        F.sum(F.size(ts.tokens_expr(F.col("text"))).cast("long"))
-        .cast("double")
-        .alias("total")
+    # the corpus-wide occurrence total is exactly sum(cnt) over the SAME
+    # token-counts aggregate the head cut consumes — Catalyst shares the
+    # one corpus-scale exchange between the two consumers (no lambda-
+    # bearing expressions sit under it, so ReusedExchange fires), instead
+    # of paying a second corpus scan
+    total = _token_counts(spark, sf_dir).agg(
+        F.sum("cnt").cast("double").alias("total")
     )
     return (
         cum.filter(F.col("rnk").isin(list(COVERAGE_KS)))

@@ -2,13 +2,14 @@
 clusters — one clean holdout, one mislabeled holdout (accuracy must drop),
 and a colinear group exercising BOTH deterministic tie-breaks (equal sims
 → lowest vec_id wins the neighbor cut; split vote → smallest label wins).
-HOLD_MOD = 5 puts vec_ids {0, 5, 10} on the holdout side."""
+The eval side is vec_id < KNN_EVAL_N (a FIXED size, never a fraction of
+the table); train ids here all sit above that boundary."""
 
 from __future__ import annotations
 
 import pytest
 
-from isimip_qa_spark.queries.ann import DIM, knn_label_accuracy
+from isimip_qa_spark.queries.ann import DIM, KNN_EVAL_N, knn_label_accuracy
 
 
 def _axis(d: int, scale: float = 1.0) -> list[float]:
@@ -17,30 +18,25 @@ def _axis(d: int, scale: float = 1.0) -> list[float]:
     return v
 
 
+B = KNN_EVAL_N  # train ids start here
+
 # (vec_id, embedding, label)
 VECS = (
-    # cluster A on axis 0: holdout 0 (label 0) + train 1-4 (label 0)
+    # cluster A on axis 0: holdout 0 (label 0) + 4 train vectors (label 0)
     [(0, _axis(0), 0)]
-    + [(i, _axis(0, 1.0 + 0.1 * i), 0) for i in (1, 2, 3, 4)]
-    # cluster B on axis 1: holdout 5 is MISLABELED (true label 7, sits in
-    # the label-1 cluster) + train 6-9 (label 1)
-    + [(5, _axis(1), 7)]
-    + [(i, _axis(1, 1.0 + 0.1 * i), 1) for i in (6, 7, 8, 9)]
-    # colinear group on axis 2 (all pairwise sims exactly 1.0): holdout 10
-    # (label 2); train ids 11,12,13,14,16,17 — id 15 is skipped (it would
-    # be holdout). Neighbor cut = 5 lowest ids {11,12,13,14,16} → labels
-    # {2:2, 5:2, 9:1} → vote tie 2 vs 5 → smallest label (2) wins: correct.
-    + [(10, _axis(2), 2)]
+    + [(B + i, _axis(0, 1.0 + 0.1 * i), 0) for i in (1, 2, 3, 4)]
+    # cluster B on axis 1: holdout 1 is MISLABELED (true label 7, sits in
+    # the label-1 cluster) + 4 train vectors (label 1)
+    + [(1, _axis(1), 7)]
+    + [(B + i, _axis(1, 1.0 + 0.1 * i), 1) for i in (6, 7, 8, 9)]
+    # colinear group on axis 2 (all pairwise sims exactly 1.0): holdout 2
+    # (label 2) + 6 train vectors. Neighbor cut = 5 LOWEST train ids
+    # {B+11..B+15} → labels {2:2, 5:2, 9:1} → vote tie 2 vs 5 → smallest
+    # label (2) wins: correct.
+    + [(2, _axis(2), 2)]
     + [
-        (i, _axis(2, s), lab)
-        for i, s, lab in [
-            (11, 1.1, 2),
-            (12, 1.2, 2),
-            (13, 1.3, 5),
-            (14, 1.4, 5),
-            (16, 1.6, 9),
-            (17, 1.7, 9),
-        ]
+        (B + i, _axis(2, 1.0 + 0.1 * i), lab)
+        for i, lab in [(11, 2), (12, 2), (13, 5), (14, 5), (15, 9), (16, 9)]
     ]
 )
 
@@ -73,6 +69,6 @@ def test_holdout_side_is_broadcast(spark, planted_dir):
         .executedPlan()
         .toString()
     )
-    # eval set broadcast against a single train-side scan — the train side
-    # must never shuffle its vectors
+    # fixed-size eval set broadcast against a single train-side scan — the
+    # train side must never shuffle its vectors
     assert "BroadcastNestedLoopJoin" in plan

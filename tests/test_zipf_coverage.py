@@ -104,3 +104,13 @@ def test_fit_is_exact_on_a_true_power_law(spark, tmp_path):
     assert got["zipf_slope"] == pytest.approx(-1.0, abs=5e-3)
     assert got["r2"] > 0.9999
     assert math.isclose(got["zipf_intercept"], math.log(1000), abs_tol=5e-3)
+
+
+def test_coverage_reuses_the_counts_exchange(spark, planted_dir):
+    """The occurrence total is sum(cnt) over the SAME counts aggregate the
+    head cut consumes — after execution, AQE must have deduplicated the
+    corpus-scale exchange (one ReusedExchange), not scanned twice."""
+    df = vocab_coverage(spark, planted_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
