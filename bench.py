@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "zipf_fit",
     "vocab_coverage",
     "knn_label_accuracy",
+    "lang_consistency",
     # host_families is correctness-gated but not benched: at toy scale its
     # wall time is ~6 connected-components rounds of fixed per-job overhead
     # over a 187-edge host graph (the engine cost of iterative CC is

@@ -803,3 +803,131 @@ def rule_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule", "threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed language consistency: language-ID each consecutive LANG_WIN-token
+# window of a document and measure agreement with the whole-document
+# prediction — the chunked-langid audit (CLD/CCNet practice) that catches
+# spliced or machine-mixed documents a single whole-doc argmax hides: a
+# half-English half-German page gets ONE confident doc label but only ~half
+# its windows agree with it.
+#
+# Pure column expressions end to end (the per-window argmax is the SAME
+# stop-word score chain as functions/langid.lang_pred_expr, applied inside
+# a transform over token slices) — one pruned scan, zero shuffles, zero
+# UDFs; the ~20 score sub-expressions per window stay columnar. NULL text
+# propagates NULL through every column on both engines (no row drops).
+# ---------------------------------------------------------------------------
+
+LANG_WIN = 10  # tokens per langid window
+MIX_AGREE_MIN = 0.7  # agree_frac below this flags the doc as mixed
+
+
+def _win_score_sql(win: str, lang: str) -> str:
+    return (
+        f"len(list_filter({win}, x -> "
+        f"list_contains({_sw_list_sql(LANG_STOPWORDS[lang])}, x)))"
+    )
+
+
+def _win_pred_sql(win: str) -> str:
+    pred = f"'{LANG_ORDER[-1]}'"
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = LANG_ORDER[LANG_ORDER.index(lang) + 1 :]
+        cond = " AND ".join(
+            f"{_win_score_sql(win, lang)} >= {_win_score_sql(win, o)}"
+            for o in later
+        )
+        pred = f"CASE WHEN {cond} THEN '{lang}' ELSE {pred} END"
+    return pred
+
+
+def _lang_consistency_sql() -> str:
+    w = LANG_WIN
+    toks = _TOKENS_LOWER_SQL
+    n_win = f"((len({toks}) + {w - 1}) // {w})"
+    wins = (
+        f"list_transform(range(0, {n_win}), "
+        f"i -> ({toks})[i*{w}+1 : i*{w}+{w}])"
+    )
+    return f"""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN text IS NOT NULL
+                  THEN {_win_pred_sql(toks)} END AS doc_lang,
+             list_transform({wins}, wn -> {_win_pred_sql('wn')}) AS preds,
+             {n_win}::BIGINT AS n_windows
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id, doc_lang, n_windows,
+             len(list_filter(preds, p -> p = doc_lang))::BIGINT AS n_agree
+      FROM b
+    )
+    SELECT doc_id, doc_lang, n_windows, n_agree,
+           round(n_agree::DOUBLE / n_windows, 6) AS agree_frac,
+           round(n_agree::DOUBLE / n_windows, 6) < {MIX_AGREE_MIN}
+             AS mixed_lang_doc
+    FROM a ORDER BY doc_id
+    """
+
+
+@register("lang_consistency", _lang_consistency_sql())
+def lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, doc_lang, n_windows, n_agree, agree_frac, mixed_lang_doc):
+    per-window langid agreement with the whole-document prediction."""
+    from ..functions.langid import lang_pred_expr
+
+    def win_score(win: Column, lang: str) -> Column:
+        sw = F.lit(LANG_STOPWORDS[lang])
+        return F.size(F.filter(win, lambda x: F.array_contains(sw, x)))
+
+    def win_pred(win: Column) -> Column:
+        pred = F.lit(LANG_ORDER[-1])
+        for lang in reversed(LANG_ORDER[:-1]):
+            later = LANG_ORDER[LANG_ORDER.index(lang) + 1 :]
+            cond = None
+            for o in later:
+                c = win_score(win, lang) >= win_score(win, o)
+                cond = c if cond is None else (cond & c)
+            pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        return pred
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_win = (
+        F.floor((F.size(toks) + F.lit(LANG_WIN - 1)) / F.lit(LANG_WIN))
+        .cast("long")
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), (n_win - 1).cast("int")),
+        lambda i: F.slice(toks, i * LANG_WIN + 1, LANG_WIN),
+    )
+    preds = F.transform(wins, win_pred)
+    # the argmax chain's terminal otherwise() would leak the last language
+    # for NULL text (every when-condition is NULL) — pin NULL in, NULL out
+    doc_pred = F.when(
+        F.col("text").isNotNull(), lang_pred_expr(F.col("text"))
+    )
+    n_agree = F.size(F.filter(preds, lambda p: p == doc_pred)).cast("long")
+    frac = F.round(
+        F.col("n_agree").cast("double") / F.col("n_windows"), 6
+    )
+    return (
+        d.select(
+            "doc_id",
+            doc_pred.alias("doc_lang"),
+            n_win.alias("n_windows"),
+            n_agree.alias("n_agree"),
+        )
+        .select(
+            "doc_id",
+            "doc_lang",
+            "n_windows",
+            "n_agree",
+            frac.alias("agree_frac"),
+            (frac < MIX_AGREE_MIN).alias("mixed_lang_doc"),
+        )
+        .orderBy("doc_id")
+    )
