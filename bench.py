@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "vocab_coverage",
     "knn_label_accuracy",
     "lang_consistency",
+    "source_divergence",
     # host_families is correctness-gated but not benched: at toy scale its
     # wall time is ~6 connected-components rounds of fixed per-job overhead
     # over a 187-edge host graph (the engine cost of iterative CC is

@@ -505,3 +505,126 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram divergence: Jensen–Shannon divergence (bits) between
+# each source's token distribution and the CORPUS distribution, plus the
+# fraction of the corpus vocabulary the source has seen — the composition-
+# drift number a datasheet pairs with `source_lang_entropy` (entropy says
+# "this source is internally mixed"; JS-vs-corpus says "this source is
+# unlike everything else" — a mirror farm scores low entropy but high
+# divergence). DSIR's dsir_kl is target-vs-raw over hashed buckets; this
+# is per-source over the real vocabulary.
+#
+# Scale shape: one corpus-scale exchange — (source, token) counts with
+# map-side combine; everything downstream is vocab-sized (per-token totals,
+# the vocab × n_sources grid) or catalog-sized (per-source totals, both
+# broadcast). The grid↔counts left join re-uses the counts' own
+# (source, w) hash partitioning, and AQE deduplicates the shared counts
+# subtree across its consumers (ReusedExchange asserted post-execution).
+# Determinism: each per-token JS contribution is quantized to the 1/QD
+# dyadic grid before the per-source sum (the graph.py / lm.py discipline),
+# so the sum is addition-order-independent and engine-exact.
+# ---------------------------------------------------------------------------
+
+QD = 1 << 20  # dyadic grid for per-token JS contributions
+
+
+_DIVERGENCE_SQL = f"""
+    WITH c AS (SELECT source, w, count(*)::BIGINT AS csw
+               FROM (SELECT source, unnest({_TOKENS_SQL}) AS w
+                     FROM documents)
+               GROUP BY 1, 2),
+    tot AS (SELECT w, sum(csw)::BIGINT AS cw FROM c GROUP BY w),
+    ns AS (SELECT source, sum(csw)::BIGINT AS n_s,
+                  count(*)::BIGINT AS vocab_seen
+           FROM c GROUP BY source),
+    nt AS (SELECT sum(cw)::BIGINT AS n_tot, count(*)::BIGINT AS vocab_total
+           FROM tot),
+    grid AS (
+      SELECT ns.source, ns.n_s, ns.vocab_seen, nt.n_tot, nt.vocab_total,
+             tot.cw, coalesce(c.csw, 0) AS csw
+      FROM tot CROSS JOIN ns CROSS JOIN nt
+      LEFT JOIN c ON c.source = ns.source AND c.w = tot.w
+    ),
+    terms AS (
+      SELECT source, n_s, vocab_seen, vocab_total,
+             round((
+               CASE WHEN csw > 0 THEN
+                 0.5 * (csw::DOUBLE / n_s)
+                     * log2((csw::DOUBLE / n_s)
+                            / ((csw::DOUBLE / n_s + cw::DOUBLE / n_tot) / 2))
+               ELSE 0.0 END
+               + 0.5 * (cw::DOUBLE / n_tot)
+                     * log2((cw::DOUBLE / n_tot)
+                            / ((csw::DOUBLE / n_s + cw::DOUBLE / n_tot) / 2))
+             ) * {QD}) / {QD} AS t
+      FROM grid
+    )
+    SELECT source,
+           max(n_s) AS n_tokens,
+           max(vocab_seen) AS vocab_seen,
+           max(vocab_total) AS vocab_total,
+           round(max(vocab_seen)::DOUBLE / max(vocab_total), 6) AS vocab_frac,
+           round(sum(t), 6) AS js_div
+    FROM terms GROUP BY source ORDER BY source
+    """
+
+
+@register("source_divergence", _DIVERGENCE_SQL)
+def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, vocab_seen, vocab_total, vocab_frac, js_div):
+    per-source JS divergence (bits) vs the corpus unigram distribution."""
+    d = read_table(spark, sf_dir, "documents")
+    c = (
+        d.select(
+            "source", F.explode(ts.tokens_expr(F.col("text"))).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("csw"))
+    )
+    tot = c.groupBy("w").agg(F.sum("csw").alias("cw"))
+    ns = c.groupBy("source").agg(
+        F.sum("csw").alias("n_s"), F.count(F.lit(1)).alias("vocab_seen")
+    )
+    nt = tot.agg(
+        F.sum("cw").alias("n_tot"), F.count(F.lit(1)).alias("vocab_total")
+    )
+    grid = (
+        tot.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nt))
+        .join(c, ["source", "w"], "left")
+    )
+    ps = F.coalesce(F.col("csw"), F.lit(0)).cast("double") / F.col("n_s")
+    qw = F.col("cw").cast("double") / F.col("n_tot")
+    m = (ps + qw) / 2
+    contrib = (
+        F.when(
+            F.coalesce(F.col("csw"), F.lit(0)) > 0,
+            0.5 * ps * F.log2(ps / m),
+        ).otherwise(F.lit(0.0))
+        + 0.5 * qw * F.log2(qw / m)
+    )
+    t = F.round(contrib * QD) / QD
+    return (
+        grid.select("source", "n_s", "vocab_seen", "vocab_total", t.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.max("vocab_seen").alias("vocab_seen"),
+            F.max("vocab_total").alias("vocab_total"),
+            F.round(F.sum("t"), 6).alias("js_div"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab_seen",
+            "vocab_total",
+            F.round(
+                F.col("vocab_seen").cast("double") / F.col("vocab_total"), 6
+            ).alias("vocab_frac"),
+            "js_div",
+        )
+        .orderBy("source")
+    )
