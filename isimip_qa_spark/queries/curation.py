@@ -141,9 +141,7 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_set("seg_idx").alias("drop_idx"))
     )
-    return _rebuild_without(d, drops, "text_deduped", "n_dropped").orderBy(
-        "doc_id"
-    )
+    return _rebuild_without(d, drops, "text_deduped", "n_dropped")
 
 
 _TERCILE_SQL = f"""
@@ -301,7 +299,7 @@ def ppl_bucket_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("tail")
             .alias("bucket"),
         )
-        .orderBy("doc_id")
+        
     )
 
 
@@ -327,7 +325,7 @@ def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture = F.concat(F.lit("Cafe\u0301\t\x07  "), F.col("text"))
     return d.select(
         "doc_id", normalize_text_expr(fixture).alias("norm_text")
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -95,7 +95,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr.join(F.broadcast(ev), "ng")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
-        .orderBy("doc_id")
+        
     )
 
 
@@ -190,7 +190,7 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
             "n_leaked",
         )
-        .orderBy("doc_id")
+        
     )
 
 

@@ -65,5 +65,5 @@ def extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             "doc_id", extract_text_expr(html).alias("extracted")
-        ).orderBy("doc_id")
+        )
     )

@@ -134,4 +134,4 @@ def rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc window is the SQL spelling, not the engine plan)."""
     return rendezvous_assign(
         read_table(spark, sf_dir, "documents"), RV_SHARDS
-    ).orderBy("doc_id")
+    )

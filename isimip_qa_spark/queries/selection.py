@@ -153,7 +153,7 @@ def chunk_long_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("long").alias("start_tok"),
         F.size(chunk).cast("long").alias("n_tok"),
         F.array_join(chunk, " ").alias("chunk_text"),
-    ).orderBy("doc_id", "chunk_idx")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -92,7 +92,7 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 swi.cast("double") / (n * F.lit(float(_W_SCALE))), 6
             ).alias("score"),
             (swi > 0).alias("keep_ml"),
-        ).orderBy("doc_id")
+        )
     )
 
 
@@ -650,7 +650,7 @@ def bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("n_tok_bpe"),
-    ).orderBy("doc_id")
+    )
 
 
 _BPE_DOC_SQL = (

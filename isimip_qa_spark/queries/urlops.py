@@ -95,7 +95,7 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         url.alias("url"),
         canonical_url_expr(url).alias("canon_url"),
-    ).orderBy("doc_id")
+    )
 
 
 # deterministic non-monotonic capture stamp, exact in int64 both engines
@@ -141,7 +141,6 @@ def dedup_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("canon_url", "doc_id", "capture")
-        .orderBy("canon_url", "doc_id")
     )
 
 

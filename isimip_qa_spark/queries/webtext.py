@@ -929,5 +929,7 @@ def lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             frac.alias("agree_frac"),
             (frac < MIX_AGREE_MIN).alias("mixed_lang_doc"),
         )
-        .orderBy("doc_id")
+        # no terminal orderBy: this is a per-DOCUMENT output, so a global
+        # sort would shuffle the whole corpus for presentation only (the
+        # driver's comparison is order-insensitive)
     )

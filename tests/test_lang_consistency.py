@@ -68,7 +68,8 @@ def test_plan_is_scan_only(spark, planted_dir):
         .executedPlan()
         .toString()
     )
-    # pure column expressions: no shuffle except the final tiny sort, no
-    # Python evaluation anywhere
+    # pure column expressions: ZERO shuffles (no terminal sort — per-doc
+    # outputs must not globally sort the corpus), no Python anywhere
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
     assert plan.count("Scan parquet") == 1
