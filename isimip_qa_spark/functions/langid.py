@@ -43,18 +43,24 @@ def _contains(words: list[str]):
     return lambda x: F.array_contains(sw, x)
 
 
-def lang_score_exprs(text: Column) -> dict[str, Column]:
-    """Integer stop-word occurrence count per language (column exprs)."""
-    toks = F.split(F.lower(text), " ")
+def lang_score_exprs_tokens(toks: Column) -> dict[str, Column]:
+    """Integer stop-word occurrence count per language over an already
+    lower-cased token array (column exprs)."""
     return {
         lang: F.size(F.filter(toks, _contains(sw))).cast("long")
         for lang, sw in LANG_STOPWORDS.items()
     }
 
 
-def lang_pred_expr(text: Column) -> Column:
-    """argmax over language scores; ties resolved by LANG_ORDER."""
-    scores = lang_score_exprs(text)
+def lang_score_exprs(text: Column) -> dict[str, Column]:
+    """Integer stop-word occurrence count per language (column exprs)."""
+    return lang_score_exprs_tokens(F.split(F.lower(text), " "))
+
+
+def argmax_lang(scores: dict[str, Column]) -> Column:
+    """THE argmax-with-LANG_ORDER-tie-break chain — single definition so
+    every predictor (doc-level, windowed, SQL twins via argmax_lang_sql)
+    resolves ties identically."""
     pred = F.lit(LANG_ORDER[-1])
     # build right-to-left so earlier languages win ties (>= comparison)
     for lang in reversed(LANG_ORDER[:-1]):
@@ -64,6 +70,44 @@ def lang_pred_expr(text: Column) -> Column:
             c = scores[lang] >= o
             cond = c if cond is None else (cond & c)
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def lang_pred_tokens_expr(toks: Column) -> Column:
+    """argmax prediction over an already lower-cased token array."""
+    return argmax_lang(lang_score_exprs_tokens(toks))
+
+
+def lang_pred_expr(text: Column) -> Column:
+    """argmax over language scores; ties resolved by LANG_ORDER."""
+    return argmax_lang(lang_score_exprs(text))
+
+
+# --- DuckDB twin generators (one definition of score + argmax chain) --------
+
+
+def _sw_sql(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def lang_score_sql(toks_sql: str, lang: str) -> str:
+    """DuckDB twin of lang_score_exprs_tokens for one language."""
+    return (
+        f"len(list_filter({toks_sql}, x -> "
+        f"list_contains({_sw_sql(LANG_STOPWORDS[lang])}, x)))::BIGINT"
+    )
+
+
+def argmax_lang_sql(score_sql_of) -> str:
+    """DuckDB twin of argmax_lang. `score_sql_of(lang)` returns the SQL
+    string for that language's score (a column alias or an inline expr)."""
+    pred = f"'{LANG_ORDER[-1]}'"
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = LANG_ORDER[LANG_ORDER.index(lang) + 1 :]
+        cond = " AND ".join(
+            f"{score_sql_of(lang)} >= {score_sql_of(o)}" for o in later
+        )
+        pred = f"CASE WHEN {cond} THEN '{lang}' ELSE {pred} END"
     return pred
 
 

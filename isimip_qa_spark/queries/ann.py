@@ -687,9 +687,10 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# kNN label-accuracy eval: hold out a FIXED-SIZE eval set (the first
-# KNN_EVAL_N vec_ids — a constant, like ann_cosine_topk's N_QUERIES, never
-# a fraction of the table), predict each held-out label by majority vote
+# kNN label-accuracy eval: hold out a FIXED-SIZE eval set (the KNN_EVAL_N
+# SMALLEST vec_ids — a constant, like ann_cosine_topk's N_QUERIES, never a
+# fraction of the table; rank-based so sparse or offset id spaces cannot
+# silently shrink the holdout), predict each held-out label by majority vote
 # among its K_NN cosine-nearest TRAIN vectors, and report per-label
 # accuracy — the standard embedding-space audit before trusting labels for
 # quality transfer / label propagation over a crawl (a label whose region
@@ -707,7 +708,7 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines: neighbors on (sim DESC, vec_id), votes on (count DESC, label).
 # ---------------------------------------------------------------------------
 
-KNN_EVAL_N = 100  # vec_id < KNN_EVAL_N → fixed-size holdout/eval side
+KNN_EVAL_N = 100  # the KNN_EVAL_N smallest vec_ids → holdout/eval side
 K_NN = 5
 
 
@@ -716,8 +717,9 @@ K_NN = 5
     oracle=f"""
     WITH e AS (SELECT vec_id, label, {_EMB_D_SQL} AS v FROM embeddings),
     q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv
-          FROM e WHERE vec_id < {KNN_EVAL_N}),
-    t AS (SELECT vec_id, label, v FROM e WHERE vec_id >= {KNN_EVAL_N}),
+          FROM e ORDER BY vec_id LIMIT {KNN_EVAL_N}),
+    t AS (SELECT vec_id, label, v FROM e
+          WHERE vec_id NOT IN (SELECT query_id FROM q)),
     sims AS (
       SELECT q.query_id, q.true_label, t.label AS nlabel, t.vec_id AS nid,
              {_dot_sql('q.qv', 't.v')} /
@@ -756,13 +758,22 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _vec_d("embedding").alias("v")
     )
-    hold = F.col("vec_id") < KNN_EVAL_N
-    q = e.filter(hold).select(
+    # rank-based cut: orderBy + limit = TakeOrderedAndProject (distributed
+    # partial top-N merged on the driver, never a global sort); the train
+    # side excludes exactly those ids via a broadcast anti-join
+    q = e.orderBy("vec_id").limit(KNN_EVAL_N).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("v").alias("qv"),
     )
-    t = spread(e.filter(~hold), "vec_id")
+    t = spread(
+        e.join(
+            F.broadcast(q.select(F.col("query_id").alias("vec_id"))),
+            "vec_id",
+            "left_anti",
+        ),
+        "vec_id",
+    )
     sims = t.crossJoin(F.broadcast(q)).select(
         "query_id",
         "true_label",

@@ -299,7 +299,6 @@ def ppl_bucket_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("tail")
             .alias("bucket"),
         )
-        
     )
 
 

@@ -95,7 +95,6 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr.join(F.broadcast(ev), "ng")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
-        
     )
 
 
@@ -190,7 +189,6 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
             "n_leaked",
         )
-        
     )
 
 

@@ -617,7 +617,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         hdrop.unionByName(bdrop)
         .groupBy("doc_id")
         .agg(F.max("reason").alias("reason"))  # 'history' > 'batch'
-        
     )
 
 

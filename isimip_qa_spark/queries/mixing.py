@@ -168,7 +168,6 @@ def lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("keep_n") * F.lit(SAMPLE_BUCKETS)
         )
         .select("doc_id", "lang", "bucket")
-        
     )
 
 

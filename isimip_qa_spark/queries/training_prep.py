@@ -143,5 +143,4 @@ def training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         clean.filter(F.pmod(fp, F.lit(SAMPLE_BUCKETS)) < SAMPLE_KEEP)
         .select("doc_id", "source", F.size(ts.tokens_expr(text)).cast("long").alias("ws_tokens"))
-        
     )

@@ -258,17 +258,14 @@ def repetition_ngram_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langid_sql() -> str:
+    from ..functions.langid import argmax_lang_sql, lang_score_sql
+
     score_cols = ", ".join(
-        f"len(list_filter({_TOKENS_LOWER_SQL}, x -> "
-        f"list_contains({_sw_list_sql(LANG_STOPWORDS[lang])}, x)))::BIGINT AS s_{lang}"
+        f"{lang_score_sql(_TOKENS_LOWER_SQL, lang)} AS s_{lang}"
         for lang in LANG_ORDER
     )
-    # argmax with first-in-LANG_ORDER tie-break
-    pred = f"'{LANG_ORDER[-1]}'"
-    for lang in reversed(LANG_ORDER[:-1]):
-        later = LANG_ORDER[LANG_ORDER.index(lang) + 1 :]
-        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in later)
-        pred = f"CASE WHEN {cond} THEN '{lang}' ELSE {pred} END"
+    # argmax with first-in-LANG_ORDER tie-break (shared chain generator)
+    pred = argmax_lang_sql(lambda lang: f"s_{lang}")
     return f"""
     WITH s AS (SELECT doc_id, {score_cols} FROM documents)
     SELECT doc_id, {', '.join('s_' + l for l in LANG_ORDER)}, {pred} AS lang_pred
@@ -824,23 +821,13 @@ LANG_WIN = 10  # tokens per langid window
 MIX_AGREE_MIN = 0.7  # agree_frac below this flags the doc as mixed
 
 
-def _win_score_sql(win: str, lang: str) -> str:
-    return (
-        f"len(list_filter({win}, x -> "
-        f"list_contains({_sw_list_sql(LANG_STOPWORDS[lang])}, x)))"
-    )
-
-
 def _win_pred_sql(win: str) -> str:
-    pred = f"'{LANG_ORDER[-1]}'"
-    for lang in reversed(LANG_ORDER[:-1]):
-        later = LANG_ORDER[LANG_ORDER.index(lang) + 1 :]
-        cond = " AND ".join(
-            f"{_win_score_sql(win, lang)} >= {_win_score_sql(win, o)}"
-            for o in later
-        )
-        pred = f"CASE WHEN {cond} THEN '{lang}' ELSE {pred} END"
-    return pred
+    """The shared argmax chain inlined over one token-array expression —
+    the SAME generators `_langid_sql` uses, so the windowed and doc-level
+    predictors cannot diverge."""
+    from ..functions.langid import argmax_lang_sql, lang_score_sql
+
+    return argmax_lang_sql(lambda lang: lang_score_sql(win, lang))
 
 
 def _lang_consistency_sql() -> str:
@@ -877,22 +864,7 @@ def _lang_consistency_sql() -> str:
 def lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, doc_lang, n_windows, n_agree, agree_frac, mixed_lang_doc):
     per-window langid agreement with the whole-document prediction."""
-    from ..functions.langid import lang_pred_expr
-
-    def win_score(win: Column, lang: str) -> Column:
-        sw = F.lit(LANG_STOPWORDS[lang])
-        return F.size(F.filter(win, lambda x: F.array_contains(sw, x)))
-
-    def win_pred(win: Column) -> Column:
-        pred = F.lit(LANG_ORDER[-1])
-        for lang in reversed(LANG_ORDER[:-1]):
-            later = LANG_ORDER[LANG_ORDER.index(lang) + 1 :]
-            cond = None
-            for o in later:
-                c = win_score(win, lang) >= win_score(win, o)
-                cond = c if cond is None else (cond & c)
-            pred = F.when(cond, F.lit(lang)).otherwise(pred)
-        return pred
+    from ..functions.langid import lang_pred_expr, lang_pred_tokens_expr
 
     d = read_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
@@ -904,7 +876,7 @@ def lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), (n_win - 1).cast("int")),
         lambda i: F.slice(toks, i * LANG_WIN + 1, LANG_WIN),
     )
-    preds = F.transform(wins, win_pred)
+    preds = F.transform(wins, lang_pred_tokens_expr)
     # the argmax chain's terminal otherwise() would leak the last language
     # for NULL text (every when-condition is NULL) — pin NULL in, NULL out
     doc_pred = F.when(

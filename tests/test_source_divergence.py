@@ -94,3 +94,14 @@ def test_plan_broadcasts_catalog_sides(spark, planted_dir):
     # per-source totals and the grand total broadcast; the grid↔counts
     # join is the only non-broadcast join and it is keyed on (source, w)
     assert plan.count("BroadcastNestedLoopJoin") == 2
+
+
+def test_counts_exchange_is_reused(spark, planted_dir):
+    """The per-token totals, per-source totals, and grid all consume the
+    same (source, token) counts aggregate — after execution AQE must have
+    deduplicated that corpus-scale subtree (ReusedExchange present), not
+    re-scanned per consumer."""
+    df = source_divergence(spark, planted_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
