@@ -420,13 +420,19 @@ _ZIPF_SQL = f"""
     """
 
 
-def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+def token_counts(d: DataFrame) -> DataFrame:
+    """(w, cnt) unigram counts over a documents-shaped frame — THE corpus
+    count block (zipf/coverage head cuts, the streaming drift monitor's
+    reference model and per-batch counts all derive from this one shape)."""
     return (
         d.select(F.explode(ts.tokens_expr(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(read_table(spark, sf_dir, "documents"))
 
 
 def _ranked_head(spark: SparkSession, sf_dir: str, v: int) -> DataFrame:

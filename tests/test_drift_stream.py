@@ -22,6 +22,12 @@ CLEAN = ["the and of to", "the of in is", "and to in the"]  # 3 docs
 ALIEN = ["zzz qqq www", "zzz the vvv"]  # 2 docs, mostly OOV vs CLEAN
 
 
+def _q_half_away(x: float) -> float:
+    from isimip_qa_spark.queries.datasheet import QD
+
+    return math.copysign(math.floor(abs(x) * QD + 0.5), x) / QD
+
+
 def _ref_metrics(texts: list[str], ref_texts: list[str]):
     ref = Counter(w for t in ref_texts for w in t.split(" "))
     rn = sum(ref.values())
@@ -32,7 +38,9 @@ def _ref_metrics(texts: list[str], ref_texts: list[str]):
     for w, cnt in c.items():
         p = cnt / n
         q = ref.get(w, 0) / rn
-        half += 0.5 * p * math.log2(p / ((p + q) / 2))
+        # mirror the engine's per-token 1/QD dyadic quantization — the sum
+        # of grid values is exact regardless of addition order
+        half += _q_half_away(0.5 * p * math.log2(p / ((p + q) / 2)))
     return (len(texts), n, round(oov / n, 6), round(half, 6))
 
 
@@ -84,6 +92,29 @@ def test_stream_matches_python_reference(spark, tmp_path):
     # the alien batch: 5 of its 6 tokens are OOV (only "the" is known)
     assert got[2][2] == pytest.approx(5 / 6, abs=1e-6)
     assert got[2][3] > 0.3
+
+
+def test_replayed_batch_does_not_duplicate_metrics(spark, tmp_path):
+    """A restarted stream over the same source (fresh checkpoint → every
+    batch replays) must leave exactly one metrics row per shard: the
+    deterministic per-batch overwrite path makes the sink idempotent."""
+    import shutil
+
+    ref_dir = str(tmp_path / "ref")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    _write(spark, f"{ref_dir}/documents.parquet", CLEAN, 0)
+    _write_shard(spark, src, "a", CLEAN, 0)
+    ref = build_ref_model(spark, ref_dir)
+
+    q = drift_stream(spark, src, out, ref)
+    assert q.awaitTermination(120)
+    shutil.rmtree(f"{out}/_chk")  # lose the offsets → full replay
+    q = drift_stream(spark, src, out, ref)
+    assert q.awaitTermination(120)
+
+    rows = spark.read.parquet(f"{out}/metrics").collect()
+    assert len(rows) == 1
 
 
 def test_batch_helper_shares_the_stream_formula(spark, tmp_path):
