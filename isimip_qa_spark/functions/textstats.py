@@ -237,6 +237,51 @@ def bullet_start_expr(text: Column) -> Column:
     return bullets.cast("double") / F.size(lines).cast("double")
 
 
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020 §2.2). Unlike the doc-level
+# flags above (which decide keep/drop for the whole page), C4's first move
+# is WITHIN the page: retain only lines that end in a terminal punctuation
+# mark, carry at least C4_MIN_LINE_WORDS words, and do not mention
+# "javascript"; the page is rebuilt from the surviving lines. All pure
+# higher-order expressions — zero shuffle, zero Python.
+# ---------------------------------------------------------------------------
+
+C4_MIN_LINE_WORDS = 3  # C4: "only retained lines that contained ≥3 words"
+
+
+def c4_line_keep_expr(ln: Column) -> Column:
+    """True iff a line survives C4's line filter: terminal punctuation
+    ('.', '!', '?' or a closing double quote) at the end, at least
+    C4_MIN_LINE_WORDS whitespace-separated words, and no 'javascript'
+    mention (case-insensitive)."""
+    return (
+        ln.rlike(r'[.!?"]$')
+        & (
+            F.size(F.regexp_extract_all(ln, F.lit(r"\S+"), F.lit(0)))
+            >= C4_MIN_LINE_WORDS
+        )
+        & ~F.lower(ln).contains("javascript")
+    )
+
+
+def c4_line_keep_sql(var: str) -> str:
+    """DuckDB twin of c4_line_keep_expr over the SQL expression `var`.
+    Patterns are RE2-compatible and byte-identical to the Spark side."""
+    return (
+        f"(regexp_matches({var}, '[.!?\"]$')"
+        f" AND len(regexp_extract_all({var}, '\\S+')) >= {C4_MIN_LINE_WORDS}"
+        f" AND NOT contains(lower({var}), 'javascript'))"
+    )
+
+
+def c4_clean_lines_expr(text: Column) -> Column:
+    """Rebuild `text` from the lines c4_line_keep_expr retains (C4's
+    within-page cleaning step). Empty result is '' (never NULL)."""
+    return F.array_join(
+        F.filter(F.split(text, "\n"), c4_line_keep_expr), "\n"
+    )
+
+
 def stopword_hits_expr(text: Column, stopwords: list[str]) -> Column:
     """Occurrence count (not distinct) of stop-words among tokens."""
     sw = F.lit(stopwords)

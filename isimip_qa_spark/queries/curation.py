@@ -54,7 +54,12 @@ from pyspark.sql.window import Window
 from ..catalog import read_table
 from ..functions.normalize import normalize_text_expr, normalize_text_sql
 from ..functions.perplexity import ppl_udf
-from ..functions.textstats import keep_expr
+from ..functions.textstats import (
+    c4_clean_lines_expr,
+    c4_line_keep_expr,
+    c4_line_keep_sql,
+    keep_expr,
+)
 from . import register
 from .webtext import _GOPHER_SQL
 
@@ -623,3 +628,94 @@ def strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_set("seg_idx").alias("drop_idx"))
     )
     return _rebuild_without(d, drops, "text_clean", "n_stripped")
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning: the within-page apply step (Raffel et al. 2020
+# §2.2). The doc-level C4 flags (queries/extras.py:c4_filters) decide
+# keep/drop for whole pages; C4's FIRST move is finer — drop individual
+# lines (no terminal punctuation / < 3 words / 'javascript') and rebuild
+# the page from the survivors, then gate pages left with too few lines.
+#
+# The synthetic corpus is single-line, so — exactly like extract_text's
+# constructed HTML — the registered instance manufactures a deterministic
+# multi-line page per document (fixed-width segments, each decorated by
+# (31·doc_id + i) mod 5 to plant every rule branch: terminal '.', terminal
+# '!', missing terminal, a javascript line, a too-short line), then runs
+# the REAL operator (functions/textstats.py:c4_clean_lines_expr) on it.
+# Production input passes its own multi-line text; everything downstream
+# of the split is construction-agnostic.
+#
+# Scale shape: pure higher-order expressions in one projection — zero
+# shuffle, zero Python, whole-stage codegen end to end (asserted in
+# tests/test_c4_line.py). The C4 page gate (paper: ≥ 5 sentences) is a
+# parameter, scaled to the fixture's short docs.
+# ---------------------------------------------------------------------------
+
+C4_LINE_W = 12  # words per constructed line (fixture segmentation only)
+C4_MIN_KEPT = 2  # page gate: kept-line floor (C4 paper uses 5 sentences)
+
+_C4_LINE_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    segs AS (
+      SELECT doc_id, i::BIGINT AS i,
+             array_to_string(toks[(i*{C4_LINE_W}+1):(i*{C4_LINE_W}+{C4_LINE_W})],
+                             ' ') AS seg
+      FROM t, unnest(range(0, greatest(cast(ceil(len(toks) / {C4_LINE_W}.0)
+                                            AS BIGINT), 1))) AS u(i)
+    ),
+    lines AS (
+      SELECT doc_id, i,
+             CASE ((31 * doc_id + i) % 5)
+               WHEN 0 THEN seg || '.'
+               WHEN 1 THEN seg || '!'
+               WHEN 2 THEN seg
+               WHEN 3 THEN seg || ' javascript required.'
+               ELSE 'ok.' END AS line
+      FROM segs
+    ),
+    flagged AS (
+      SELECT doc_id, i, line, {c4_line_keep_sql("line")} AS keep FROM lines
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_lines,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           (sum(CASE WHEN keep THEN 1 ELSE 0 END) >= {C4_MIN_KEPT})
+             AS page_keep,
+           coalesce(string_agg(CASE WHEN keep THEN line END,
+                               chr(10) ORDER BY i), '') AS cleaned
+    FROM flagged GROUP BY doc_id
+"""
+
+
+@register("c4_line_clean", oracle=_C4_LINE_SQL)
+def c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_lines, n_kept, page_keep, cleaned): C4 line-level
+    cleaning over a deterministically constructed multi-line page —
+    surviving lines rebuilt with '\\n', page_keep = enough lines survived.
+    One projection, no exchange (module comment)."""
+    d = read_table(spark, sf_dir, "documents")
+
+    def decorate(seg: Column, i: Column) -> Column:
+        m = F.pmod(F.lit(31) * F.col("doc_id") + i, F.lit(5))
+        return (
+            F.when(m == 0, F.concat(seg, F.lit(".")))
+            .when(m == 1, F.concat(seg, F.lit("!")))
+            .when(m == 2, seg)
+            .when(m == 3, F.concat(seg, F.lit(" javascript required.")))
+            .otherwise(F.lit("ok."))
+        )
+
+    page = F.array_join(
+        F.transform(segments_expr(F.col("text"), C4_LINE_W), decorate), "\n"
+    )
+    docs = d.select("doc_id", page.alias("page_text"))
+    arr = F.split(F.col("page_text"), "\n")
+    kept = F.filter(arr, c4_line_keep_expr)
+    return docs.select(
+        "doc_id",
+        F.size(arr).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(kept) >= C4_MIN_KEPT).alias("page_keep"),
+        c4_clean_lines_expr(F.col("page_text")).alias("cleaned"),
+    )
