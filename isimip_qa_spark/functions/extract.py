@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .urlops import url_host_expr, url_host_sql
+
 # (pattern, replacement) applied in order; identical strings on both engines
 _BLOCK_PATTERNS = [
     (r"(?is)<head[^>]*>.*?</head>", ""),
@@ -71,3 +73,49 @@ def extract_text_sql(html_sql: str) -> str:
         c = ch.replace("'", "''")
         s = f"replace({s}, '{ent}', '{c}')"
     return s
+
+
+# ---------------------------------------------------------------------------
+# Outlink extraction: the href → destination-host map that turns raw HTML
+# into the link graph queries/graph.py ranks. Same two-engine discipline
+# as the text extraction above — one RE2-compatible pattern set, Spark
+# expressions and a DuckDB twin built from the identical strings.
+#
+# Semantics: every href value (single- or double-quoted, any attribute
+# case) is resolved to a destination HOST — absolute http(s) URLs through
+# the urlops host extraction (lowercased, port-free), anything else
+# (relative paths, fragments) to the page's own host, which is what a
+# host-granular link graph wants from a relative link. Non-http schemes
+# (mailto:, javascript:) resolve to the base host too; a production
+# pipeline that wants them dropped filters the output — the graph builder
+# aggregates per (src, dst) so the self-edge they produce is the
+# honest host-level reading of "links to itself or nowhere".
+# ---------------------------------------------------------------------------
+
+_HREF_RE = "(?i)href=[\"']([^\"']*)[\"']"
+_ABS_RE = "(?i)^https?://"
+
+
+def extract_link_hosts_expr(html: Column, base_host: Column) -> Column:
+    """array<string> of destination hosts for every href in `html`
+    (binary or string); relative links resolve to `base_host`."""
+    urls = F.regexp_extract_all(
+        html.cast("string"), F.lit(_HREF_RE), F.lit(1)
+    )
+    return F.transform(
+        urls,
+        lambda u: F.when(u.rlike(_ABS_RE), url_host_expr(u)).otherwise(
+            base_host
+        ),
+    )
+
+
+def extract_link_hosts_sql(html_sql: str, base_host_sql: str) -> str:
+    """DuckDB twin of extract_link_hosts_expr."""
+    href = _HREF_RE.replace("'", "''")
+    abs_ = _ABS_RE.replace("'", "''")
+    urls = f"regexp_extract_all({html_sql}, '{href}', 1)"
+    return (
+        f"list_transform({urls}, u -> CASE WHEN regexp_matches(u, '{abs_}')"
+        f" THEN {url_host_sql('u')} ELSE {base_host_sql} END)"
+    )

@@ -24,8 +24,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import read_table
-from ..functions.extract import extract_text_expr, extract_text_sql
+from ..functions import textstats as ts
+from ..functions.extract import (
+    extract_link_hosts_expr,
+    extract_link_hosts_sql,
+    extract_text_expr,
+    extract_text_sql,
+)
+from ..functions.fingerprint import (
+    rolling_fingerprint_expr,
+    rolling_fingerprint_sql,
+)
 from . import register
+from .webtext import _TOKENS_SQL
 
 # the entity-decoded form of _INTRO below
 _INTRO = (
@@ -66,4 +77,75 @@ def extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id", extract_text_expr(html).alias("extracted")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outlink extraction: hrefs in the raw HTML resolved to destination hosts
+# and aggregated to the (src, dst, n_links) edge table — the REAL input
+# for the link-graph prior (queries/graph.py documents that its derived
+# graph is the fixture stand-in; tests/test_extract_links.py runs
+# pagerank_edges over this query's output to make the swap executable).
+#
+# The constructed page plants every extraction branch: an absolute link in
+# uppercase scheme/host and SINGLE-quoted uppercase HREF (case folding +
+# quote style), a relative link (resolves to the page's own host), and a
+# fixed absolute link (a shared "CDN" every page cites). The destination
+# variety comes from the same deterministic fingerprint the graph module
+# uses, so edges are a pure function of the corpus on both engines.
+#
+# Scale shape: scan → projection (construct + extract + resolve, all JVM
+# regex/higher-order exprs) → explode → hash agg keyed on (src, dst) host
+# pairs — one exchange whose key space is host-pair-bounded, with map-side
+# combine; html bytes never shuffle and never cross to Python.
+# ---------------------------------------------------------------------------
+
+_N_LINK_HOSTS = 7
+
+_LINKS_HTML_SQL = f"""
+    '<html><body><p>' || text || '</p><A HREF=''HTTPS://H' ||
+    (((fp % {_N_LINK_HOSTS}) + {_N_LINK_HOSTS}) % {_N_LINK_HOSTS})::VARCHAR ||
+    '.Example.org/p/' || doc_id::VARCHAR ||
+    '''>x</A><a href="/about">y</a>' ||
+    '<a href="https://cdn.example.org/lib.js">z</a></body></html>'
+"""
+
+_LINKS_SQL = f"""
+    WITH d AS (SELECT doc_id, source, text,
+                      {rolling_fingerprint_sql(_TOKENS_SQL)} AS fp
+               FROM documents),
+    h AS (SELECT source, {_LINKS_HTML_SQL} AS html FROM d)
+    SELECT src, dst, count(*)::BIGINT AS n_links
+    FROM (SELECT source AS src,
+                 unnest({extract_link_hosts_sql("html", "source")}) AS dst
+          FROM h)
+    GROUP BY src, dst
+"""
+
+
+@register("extract_links", _LINKS_SQL)
+def extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, n_links): host-level outlink edges extracted from the
+    constructed raw HTML — absolute hrefs resolve through the urlops host
+    extraction, relative hrefs to the page's own host."""
+    d = read_table(spark, sf_dir, "documents")
+    k = F.pmod(
+        rolling_fingerprint_expr(ts.tokens_expr(F.col("text"))),
+        F.lit(_N_LINK_HOSTS),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit("</p><A HREF='HTTPS://H"),
+        k.cast("string"),
+        F.lit(".Example.org/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("'>x</A><a href=\"/about\">y</a>"),
+        F.lit('<a href="https://cdn.example.org/lib.js">z</a></body></html>'),
+    ).cast("binary")
+    hosts = extract_link_hosts_expr(html, F.col("source"))
+    return (
+        d.select(F.col("source").alias("src"), F.explode(hosts).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_links"))
     )

@@ -147,7 +147,19 @@ def _pagerank_df(spark: SparkSession, sf_dir: str):
     """The lazy PageRank plan plus the persisted edges handle (the caller
     owns the unpersist — host_pagerank pairs it after checkpointing; the
     plan-shape test inspects the plan, then unpersists)."""
-    edges = _edges(spark, sf_dir).persist()
+    return pagerank_edges(_edges(spark, sf_dir))
+
+
+def pagerank_edges(edges: DataFrame):
+    """PageRank over a caller-supplied (src, dst, w) edge table — the
+    production entry point: `_edges` above manufactures a deterministic
+    graph for the oracle, a real pipeline passes the outlink table that
+    queries/extract.py:extract_links produces from the raw HTML. Node
+    contract: every dst must also appear as src with outdegree ≥ 1 (add
+    self-loops otherwise) — there is no dangling-mass redistribution.
+    Returns (result plan, persisted edges handle); the caller owns the
+    unpersist."""
+    edges = edges.persist()
     deg = edges.groupBy("src").agg(F.sum("w").alias("outdeg"))
     # (src, dst, w, outdeg) — deg is |hosts| rows, broadcast; past broadcast
     # size this is the join that flips to shuffle-on-src (module docstring)
