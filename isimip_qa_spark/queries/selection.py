@@ -255,3 +255,50 @@ def cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-count downweighting ("soft dedup"): instead of dropping near-dup
+# cluster members, give each member sampling weight 1/k so every cluster
+# contributes total mass 1 — in expectation the deduplicated corpus, but
+# the sampler keeps the within-cluster diversity keep-first throws away.
+# The data-constrained scaling results (Muennighoff et al. 2023) make this
+# the principled alternative when unique data is the binding constraint:
+# repeated occurrences have decaying, not zero, value.
+#
+# Scale shape: cluster sizes are a partial-aggregable hash agg on the
+# 8-byte cluster_id; attaching the size back to members is a co-partitioned
+# join on the same key (the size side is |clusters| rows — AQE broadcasts
+# it at small scale, and at 10^12 docs both sides already hash-partition
+# on cluster_id so the join adds no new exchange class). Degenerate
+# boilerplate clusters are bounded upstream by the LSH bucket caps.
+# Weight = round(1/k, 6): one IEEE division of identical integers on both
+# engines, then the repo's standard 6-digit defensive round.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repeat_weights",
+    oracle=f"""
+    SELECT doc_id, cluster_size,
+           round(1.0::DOUBLE / cluster_size, 6) AS weight
+    FROM (
+      SELECT doc_id,
+             count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
+      FROM ({_clusters_sql(JACCARD_THRESHOLD)})
+    )
+    """,
+)
+def repeat_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_size, weight): per-document sampling weight 1/k
+    over the near-dup cluster assignment — every cluster sums to mass 1,
+    singletons keep weight 1."""
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return clusters.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )
