@@ -147,6 +147,9 @@ BENCH_QUERIES = [
     "knn_label_accuracy",
     "lang_consistency",
     "source_divergence",
+    "c4_line_clean",
+    "extract_links",
+    "repeat_weights",
     # host_families is correctness-gated but not benched: at toy scale its
     # wall time is ~6 connected-components rounds of fixed per-job overhead
     # over a 187-edge host graph (the engine cost of iterative CC is

@@ -248,16 +248,28 @@ def bullet_start_expr(text: Column) -> Column:
 
 C4_MIN_LINE_WORDS = 3  # C4: "only retained lines that contained ≥3 words"
 
+# Word token for the C4 line rule. `\S` is NOT engine-portable (Java's \s
+# includes \x0B, RE2's does not), so the class is spelled out byte-for-byte
+# — Java regex (Spark), RE2 (DuckDB), and Python `re` all read it
+# identically. Newline splitting is likewise explicit (`\r\n|\r|\n`)
+# because Java's `$` matches before a trailing '\r' while RE2's matches
+# only end-of-string: lines handed to the `$`-anchored terminal-punct rule
+# must already be terminator-free on BOTH engines.
+C4_WORD_RE = r"[^ \t\n\x0b\f\r]+"
+C4_NEWLINE_RE = r"\r\n|\r|\n"
+
 
 def c4_line_keep_expr(ln: Column) -> Column:
     """True iff a line survives C4's line filter: terminal punctuation
     ('.', '!', '?' or a closing double quote) at the end, at least
     C4_MIN_LINE_WORDS whitespace-separated words, and no 'javascript'
-    mention (case-insensitive)."""
+    mention (case-insensitive). `ln` must be a single line (no \\r/\\n) —
+    split pages with C4_NEWLINE_RE so the `$` anchor agrees across
+    engines (module note above)."""
     return (
         ln.rlike(r'[.!?"]$')
         & (
-            F.size(F.regexp_extract_all(ln, F.lit(r"\S+"), F.lit(0)))
+            F.size(F.regexp_extract_all(ln, F.lit(C4_WORD_RE), F.lit(0)))
             >= C4_MIN_LINE_WORDS
         )
         & ~F.lower(ln).contains("javascript")
@@ -266,19 +278,23 @@ def c4_line_keep_expr(ln: Column) -> Column:
 
 def c4_line_keep_sql(var: str) -> str:
     """DuckDB twin of c4_line_keep_expr over the SQL expression `var`.
-    Patterns are RE2-compatible and byte-identical to the Spark side."""
+    Patterns are byte-identical to the Spark side and drawn from the
+    engine-portable subset (explicit word class, terminator-free input —
+    module note above)."""
     return (
         f"(regexp_matches({var}, '[.!?\"]$')"
-        f" AND len(regexp_extract_all({var}, '\\S+')) >= {C4_MIN_LINE_WORDS}"
+        f" AND len(regexp_extract_all({var}, '{C4_WORD_RE}')) >= {C4_MIN_LINE_WORDS}"
         f" AND NOT contains(lower({var}), 'javascript'))"
     )
 
 
 def c4_clean_lines_expr(text: Column) -> Column:
     """Rebuild `text` from the lines c4_line_keep_expr retains (C4's
-    within-page cleaning step). Empty result is '' (never NULL)."""
+    within-page cleaning step). Splits on universal newlines (CRLF / CR /
+    LF) so Windows-crawled pages never smuggle a '\\r' past the terminal-
+    punct anchor. Empty result is '' (never NULL)."""
     return F.array_join(
-        F.filter(F.split(text, "\n"), c4_line_keep_expr), "\n"
+        F.filter(F.split(text, C4_NEWLINE_RE), c4_line_keep_expr), "\n"
     )
 
 

@@ -5,6 +5,11 @@ regex engines, semantics pinned by the oracle).
 A crawl pipeline's first identity question is "which captures are the same
 page?", and the answer starts with a canonical URL:
 
+  0. remove ASCII tab/CR/LF anywhere in the string (the WHATWG URL parser
+     strips them before parsing; crawls really do emit header-wrapped
+     URLs) — this also keeps the `$`-anchored steps engine-portable,
+     because Java's `$` matches before a trailing newline while RE2's
+     matches only end-of-string,
   1. strip the fragment (`#...` never reaches the server),
   2. lowercase the scheme and authority (case-insensitive per RFC 3986),
   3. drop the scheme's default port (`:80` for http, `:443` for https),
@@ -42,8 +47,9 @@ _HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/:?#]*)"
 
 
 def canonical_url_expr(url: Column) -> Column:
-    """Canonical form of `url` (steps 1-5 above), Spark side."""
-    u = F.regexp_replace(url, r"#.*$", "")
+    """Canonical form of `url` (steps 0-5 above), Spark side."""
+    u = F.regexp_replace(url, r"[\t\r\n]", "")
+    u = F.regexp_replace(u, r"#.*$", "")
     prefix = F.lower(F.regexp_extract(u, _PREFIX_RE, 1))
     rest = F.substring(u, F.length(prefix) + 1, F.lit(2**30))
     prefix = F.regexp_replace(prefix, r"^(http://[^/:]+):80$", "$1")
@@ -71,7 +77,10 @@ def canonical_url_expr(url: Column) -> Column:
 
 def canonical_url_sql(url_sql: str) -> str:
     """DuckDB twin of canonical_url_expr — byte-identical output."""
-    u = f"regexp_replace({url_sql}, '#.*$', '')"
+    # 'g': DuckDB regexp_replace is first-match-only by default where
+    # Spark's is global
+    u0 = f"regexp_replace({url_sql}, '[\\t\\r\\n]', '', 'g')"
+    u = f"regexp_replace({u0}, '#.*$', '')"
     prefix = f"lower(regexp_extract({u}, '{_PREFIX_RE}', 1))"
     rest = f"substr({u}, length({prefix}) + 1)"
     prefix = (
@@ -98,9 +107,13 @@ def canonical_url_sql(url_sql: str) -> str:
 
 
 def url_host_expr(url: Column) -> Column:
-    """Lowercased host (no port) of `url`. Works on raw or canonical URLs."""
-    return F.regexp_extract(F.lower(url), _HOST_RE, 1)
+    """Lowercased host (no port) of `url`. Works on raw or canonical URLs;
+    applies the same step-0 tab/CR/LF strip so raw and canonical inputs
+    yield the same host."""
+    u = F.regexp_replace(url, r"[\t\r\n]", "")
+    return F.regexp_extract(F.lower(u), _HOST_RE, 1)
 
 
 def url_host_sql(url_sql: str) -> str:
-    return f"regexp_extract(lower({url_sql}), '{_HOST_RE}', 1)"
+    u = f"regexp_replace({url_sql}, '[\\t\\r\\n]', '', 'g')"
+    return f"regexp_extract(lower({u}), '{_HOST_RE}', 1)"

@@ -55,7 +55,7 @@ from ..catalog import read_table
 from ..functions.normalize import normalize_text_expr, normalize_text_sql
 from ..functions.perplexity import ppl_udf
 from ..functions.textstats import (
-    c4_clean_lines_expr,
+    C4_NEWLINE_RE,
     c4_line_keep_expr,
     c4_line_keep_sql,
     keep_expr,
@@ -78,14 +78,30 @@ def segments_expr(text: Column, w: int = SEG_W) -> Column:
     )
 
 
-_SEGS_SQL = f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+def _segs_cte(
+    w: int = SEG_W,
+    keys: str = "doc_id",
+    idx: str = "",
+    distinct: bool = False,
+) -> str:
+    """DuckDB twin of segments_expr(text, w) as the CTE pair `t, segs` —
+    the ONE copy of the slice/ceil/greatest segmentation every oracle in
+    this module composes (dedup_paragraphs, mirror_hosts/host_families,
+    host_boilerplate, strip_boilerplate, c4_line_clean vary only the
+    carried key columns, the emitted index expression, and DISTINCT)."""
+    d = "DISTINCT " if distinct else ""
+    return f"""
+    t AS (SELECT {keys}, string_split(text, ' ') AS toks FROM documents),
     segs AS (
-      SELECT doc_id, i::INT AS seg_idx,
-             array_to_string(toks[(i*{SEG_W}+1):(i*{SEG_W}+{SEG_W})], ' ') AS seg
-      FROM t, unnest(range(0, greatest(cast(ceil(len(toks) / {SEG_W}.0) AS BIGINT), 1)))
+      SELECT {d}{keys}, {idx}
+             array_to_string(toks[(i*{w}+1):(i*{w}+{w})], ' ') AS seg
+      FROM t, unnest(range(0, greatest(cast(ceil(len(toks) / {w}.0) AS BIGINT), 1)))
            AS u(i)
-    ),
+    )"""
+
+
+_SEGS_SQL = f"""
+    WITH {_segs_cte(idx="i::INT AS seg_idx,")},
     ranked AS (
       SELECT doc_id, seg_idx, seg,
              row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
@@ -345,13 +361,7 @@ MIRROR_CAP = 16  # a segment on > CAP distinct sources is boilerplate, not a
 # pair CTE body shared by the mirror_hosts query and the host_families
 # transitive closure below
 _MIRROR_PAIRS_CTE = f"""
-    t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
-    segs AS (
-      SELECT DISTINCT source,
-             array_to_string(toks[(i*{SEG_W}+1):(i*{SEG_W}+{SEG_W})], ' ') AS seg
-      FROM t, unnest(range(0, greatest(cast(ceil(len(toks) / {SEG_W}.0) AS BIGINT), 1)))
-           AS u(i)
-    ),
+    {_segs_cte(keys="source", distinct=True)},
     g AS (SELECT source, seg FROM segs WHERE length(seg) > 0),
     k AS (SELECT seg FROM g GROUP BY seg
           HAVING count(*) BETWEEN 2 AND {MIRROR_CAP}),
@@ -521,14 +531,7 @@ BOILER_MIN = 2  # min docs sharing a segment within one host
 @register(
     "host_boilerplate",
     oracle=f"""
-    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
-               FROM documents),
-    segs AS (
-      SELECT DISTINCT doc_id, source,
-             array_to_string(toks[(i*{SEG_W}+1):(i*{SEG_W}+{SEG_W})], ' ') AS seg
-      FROM t, unnest(range(0, greatest(cast(ceil(len(toks) / {SEG_W}.0) AS BIGINT), 1)))
-           AS u(i)
-    ),
+    WITH {_segs_cte(keys="doc_id, source", distinct=True)},
     h AS (SELECT source, count(*)::BIGINT AS host_docs
           FROM documents GROUP BY source),
     rep AS (
@@ -575,14 +578,7 @@ def host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "strip_boilerplate",
     oracle=f"""
-    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
-               FROM documents),
-    segs AS (
-      SELECT doc_id, source, i::INT AS seg_idx,
-             array_to_string(toks[(i*{SEG_W}+1):(i*{SEG_W}+{SEG_W})], ' ') AS seg
-      FROM t, unnest(range(0, greatest(cast(ceil(len(toks) / {SEG_W}.0) AS BIGINT), 1)))
-           AS u(i)
-    ),
+    WITH {_segs_cte(keys="doc_id, source", idx="i::INT AS seg_idx,")},
     flagged AS (
       SELECT source, seg FROM (SELECT DISTINCT doc_id, source, seg FROM segs)
       GROUP BY source, seg HAVING count(*) >= {BOILER_MIN}
@@ -656,14 +652,7 @@ C4_LINE_W = 12  # words per constructed line (fixture segmentation only)
 C4_MIN_KEPT = 2  # page gate: kept-line floor (C4 paper uses 5 sentences)
 
 _C4_LINE_SQL = f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    segs AS (
-      SELECT doc_id, i::BIGINT AS i,
-             array_to_string(toks[(i*{C4_LINE_W}+1):(i*{C4_LINE_W}+{C4_LINE_W})],
-                             ' ') AS seg
-      FROM t, unnest(range(0, greatest(cast(ceil(len(toks) / {C4_LINE_W}.0)
-                                            AS BIGINT), 1))) AS u(i)
-    ),
+    WITH {_segs_cte(w=C4_LINE_W, idx="i::BIGINT AS i,")},
     lines AS (
       SELECT doc_id, i,
              CASE ((31 * doc_id + i) % 5)
@@ -710,12 +699,20 @@ def c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(segments_expr(F.col("text"), C4_LINE_W), decorate), "\n"
     )
     docs = d.select("doc_id", page.alias("page_text"))
-    arr = F.split(F.col("page_text"), "\n")
-    kept = F.filter(arr, c4_line_keep_expr)
-    return docs.select(
+    arr = F.split(F.col("page_text"), C4_NEWLINE_RE)
+    # staged projection so the split and the 3-regex keep filter evaluate
+    # once per row — higher-order exprs get no common-subexpression
+    # elimination, and CollapseProject keeps multi-referenced non-cheap
+    # exprs staged instead of re-inlining them
+    staged = docs.select(
         "doc_id",
-        F.size(arr).cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept"),
-        (F.size(kept) >= C4_MIN_KEPT).alias("page_keep"),
-        c4_clean_lines_expr(F.col("page_text")).alias("cleaned"),
+        arr.alias("arr"),
+        F.filter(arr, c4_line_keep_expr).alias("kept"),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("arr").cast("long").alias("n_lines"),
+        F.size("kept").cast("long").alias("n_kept"),
+        (F.size("kept") >= C4_MIN_KEPT).alias("page_keep"),
+        F.array_join("kept", "\n").alias("cleaned"),
     )

@@ -44,7 +44,7 @@ the reference applies per dataset (best file wins) recast per cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import read_table
@@ -266,12 +266,15 @@ def cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the principled alternative when unique data is the binding constraint:
 # repeated occurrences have decaying, not zero, value.
 #
-# Scale shape: cluster sizes are a partial-aggregable hash agg on the
-# 8-byte cluster_id; attaching the size back to members is a co-partitioned
-# join on the same key (the size side is |clusters| rows — AQE broadcasts
-# it at small scale, and at 10^12 docs both sides already hash-partition
-# on cluster_id so the join adds no new exchange class). Degenerate
-# boilerplate clusters are bounded upstream by the LSH bucket caps.
+# Scale shape: cluster_size is a COUNT window over cluster_id — ONE pass
+# over the cluster assignment, satisfied by a single hashpartitioning
+# exchange on the 8-byte cluster_id. (A groupBy-sizes + join-back reads
+# the non-checkpointed dedup_clusters lineage TWICE — its corpus-sized
+# text-hash and rep-join exchanges are upstream of localCheckpoint's
+# truncation and the two plan branches are not canonically equal, so
+# ReusedExchange can't kick in; the window is also exactly the oracle's
+# shape.) Degenerate boilerplate clusters are bounded upstream by the LSH
+# bucket caps, so no window partition goes quadratic.
 # Weight = round(1/k, 6): one IEEE division of identical integers on both
 # engines, then the repo's standard 6-digit defensive round.
 # ---------------------------------------------------------------------------
@@ -293,11 +296,11 @@ def repeat_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_size, weight): per-document sampling weight 1/k
     over the near-dup cluster assignment — every cluster sums to mass 1,
     singletons keep weight 1."""
-    clusters = dedup_clusters(spark, sf_dir)
-    sizes = clusters.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return clusters.join(sizes, "cluster_id").select(
+    w = Window.partitionBy("cluster_id")
+    return dedup_clusters(spark, sf_dir).select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    ).select(
         "doc_id",
         "cluster_size",
         F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from isimip_qa_spark.functions.textstats import (
     C4_MIN_LINE_WORDS,
+    C4_NEWLINE_RE,
+    C4_WORD_RE,
     c4_clean_lines_expr,
     c4_line_keep_expr,
     c4_line_keep_sql,
@@ -28,19 +30,28 @@ PLANTED = [
     "Tail space after period. \nclean line three words.",  # trailing space
     "a.b.c? d! e.\nmany tiny words end well.",
     "line\n\nline two ok.\n",  # empty interior + trailing newline
+    # CRLF page: Java `$` matches before a trailing '\r' but RE2 does not —
+    # universal-newline splitting must strip the '\r' before the anchor
+    "Windows crawled line one.\r\nWindows crawled line two.\r\nno punct\r\n",
+    "old mac line breaks here.\rsecond old mac line here.",
+    # \x0B is whitespace to Java's \S but not RE2's: the explicit word
+    # class must agree (the middle token splits -> 4 words, kept)
+    "a b\x0bc d.\ntiny\x0bx.",
 ]
 
 
 def _py_keep(ln: str) -> bool:
     return (
         bool(re.search(r'[.!?"]$', ln))
-        and len(re.findall(r"\S+", ln)) >= C4_MIN_LINE_WORDS
+        and len(re.findall(C4_WORD_RE, ln)) >= C4_MIN_LINE_WORDS
         and "javascript" not in ln.lower()
     )
 
 
 def _py_clean(text: str) -> str:
-    return "\n".join(ln for ln in text.split("\n") if _py_keep(ln))
+    return "\n".join(
+        ln for ln in re.split(C4_NEWLINE_RE, text) if _py_keep(ln)
+    )
 
 
 @pytest.fixture(scope="module")
@@ -66,7 +77,7 @@ def test_keep_flags_match_duckdb_twin(planted):
         planted.select(
             "doc_id",
             F.transform(
-                F.split(F.col("text"), "\n"), c4_line_keep_expr
+                F.split(F.col("text"), C4_NEWLINE_RE), c4_line_keep_expr
             ).alias("keeps"),
         )
         .toPandas()
@@ -80,7 +91,7 @@ def test_keep_flags_match_duckdb_twin(planted):
                 f"SELECT {c4_line_keep_sql('ln')} FROM (SELECT ? AS ln)",
                 [ln],
             ).fetchone()[0]
-            for ln in text.split("\n")
+            for ln in re.split(C4_NEWLINE_RE, text)
         ]
         assert list(r["keeps"]) == want
 

@@ -49,9 +49,16 @@ _text = st.text(
 )
 
 # URLs: realistic composites plus arbitrary junk (the expr must not crash
-# or diverge on malformed input — crawls contain both)
+# or diverge on malformed input — crawls contain both). Tab/CR/LF are drawn
+# deliberately: the WHATWG step-0 strip is what keeps the `$`-anchored
+# steps engine-portable (Java `$` matches before a trailing newline, RE2's
+# does not), so the generator must reach those bytes
 _url_part = st.text(
-    alphabet=st.characters(min_codepoint=33, max_codepoint=126), max_size=12
+    alphabet=st.one_of(
+        st.characters(min_codepoint=33, max_codepoint=126),
+        st.sampled_from(["\t", "\r", "\n"]),
+    ),
+    max_size=12,
 )
 _url = st.one_of(
     st.builds(
