@@ -399,6 +399,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (SparkContext applicationId, table dir) -> materialized assignment.
+# Bounded: one 16-byte-row frame per corpus a process touches.
+_ASSIGNMENT_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialise-once face of dedup_clusters: computed one time per
+    (SparkContext, table) and pinned with an eager localCheckpoint, then
+    handed to every downstream consumer (keep-best argmax, cluster-size
+    histogram, repeat weights) so none of them re-runs the minhash-pair +
+    connected-components lineage. This is the in-process stand-in for the
+    production step that writes the assignment to its own table once —
+    (doc_id, cluster_id) is 16 bytes/row, the same footprint discipline as
+    the CC iteration's own per-round checkpoints. Assumes the table at
+    `sf_dir` is immutable for the session (the repo's artifact
+    discipline); localCheckpoint is executor-local, so the production
+    path at cluster scale is the real table write this stands in for.
+    `dedup_clusters` itself stays pure (its registered query/oracle
+    measures the real chain)."""
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    df = _ASSIGNMENT_MEMO.get(key)
+    if df is None:
+        df = dedup_clusters(spark, sf_dir).localCheckpoint(eager=True)
+        _ASSIGNMENT_MEMO[key] = df
+    return df
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup pairs via banded Hamming blocking — PIGEONHOLE-EXACT:
 # with the fingerprint split into C chunks, two fingerprints at Hamming

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import read_table
 from . import register
-from .dedup import JACCARD_THRESHOLD, _clusters_sql, dedup_clusters
+from .dedup import JACCARD_THRESHOLD, _clusters_sql, cluster_assignment
 from .webtext import QUALITY_SQL, quality_expr
 
 # ---------------------------------------------------------------------------
@@ -84,7 +84,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     Argmax by `max(struct(quality, -doc_id))` — partial-aggregable, no
     per-cluster window funnel (module docstring)."""
     docs = read_table(spark, sf_dir, "documents")
-    clusters = dedup_clusters(spark, sf_dir)
+    clusters = cluster_assignment(spark, sf_dir)
     q = docs.select("doc_id", quality_expr(F.col("text")).alias("quality"))
     best = (
         clusters.join(q, "doc_id")
@@ -241,7 +241,7 @@ def cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     same exact integer trick as doclen_histogram (datasheet.py); the DuckDB
     twin uses floor(log2()) on BIGINT which is exact for k < 2^53."""
     sizes = (
-        dedup_clusters(spark, sf_dir)
+        cluster_assignment(spark, sf_dir)
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("k"))
     )
@@ -267,13 +267,12 @@ def cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # repeated occurrences have decaying, not zero, value.
 #
 # Scale shape: cluster_size is a COUNT window over cluster_id — ONE pass
-# over the cluster assignment, satisfied by a single hashpartitioning
-# exchange on the 8-byte cluster_id. (A groupBy-sizes + join-back reads
-# the non-checkpointed dedup_clusters lineage TWICE — its corpus-sized
-# text-hash and rep-join exchanges are upstream of localCheckpoint's
-# truncation and the two plan branches are not canonically equal, so
-# ReusedExchange can't kick in; the window is also exactly the oracle's
-# shape.) Degenerate boilerplate clusters are bounded upstream by the LSH
+# over the materialised cluster assignment (cluster_assignment: 16-byte
+# rows, computed once per session/table), satisfied by a single
+# hashpartitioning exchange on the 8-byte cluster_id; a groupBy-sizes +
+# join-back would scan the assignment twice and add a join for the same
+# answer the window gives in one operator (also exactly the oracle's
+# shape). Degenerate boilerplate clusters are bounded upstream by the LSH
 # bucket caps, so no window partition goes quadratic.
 # Weight = round(1/k, 6): one IEEE division of identical integers on both
 # engines, then the repo's standard 6-digit defensive round.
@@ -297,7 +296,7 @@ def repeat_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the near-dup cluster assignment — every cluster sums to mass 1,
     singletons keep weight 1."""
     w = Window.partitionBy("cluster_id")
-    return dedup_clusters(spark, sf_dir).select(
+    return cluster_assignment(spark, sf_dir).select(
         "doc_id",
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
     ).select(
