@@ -33,6 +33,10 @@ boilerplate pages sharing every blocking key → k² candidate rows):
 
 from __future__ import annotations
 
+import os
+import threading
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -399,9 +403,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (SparkContext applicationId, table dir) -> materialized assignment.
-# Bounded: one 16-byte-row frame per corpus a process touches.
-_ASSIGNMENT_MEMO: dict[tuple[str, str], DataFrame] = {}
+# (SparkContext applicationId, canonical table dir, table stat token) ->
+# materialized assignment. LRU-capped: evicting an entry drops the only
+# strong reference to its checkpointed frame, re-enabling ContextCleaner
+# block cleanup (the graph.py release discipline) for corpora a sweep has
+# moved past.
+_ASSIGNMENT_MEMO: "OrderedDict[tuple[str, str, str], DataFrame]" = (
+    OrderedDict()
+)
+_ASSIGNMENT_LOCK = threading.Lock()
+_ASSIGNMENT_CAP = 8
+
+
+def _table_token(sf_dir: str) -> str:
+    """Best-effort freshness token for the documents table: mtime+size of
+    the parquet file (or of the directory, whose mtime changes when Spark
+    rewrites its part files). Overwriting the table under a memoised path
+    therefore invalidates the entry instead of serving stale clusters."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "unknown"
 
 
 def cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,18 +436,31 @@ def cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components lineage. This is the in-process stand-in for the
     production step that writes the assignment to its own table once —
     (doc_id, cluster_id) is 16 bytes/row, the same footprint discipline as
-    the CC iteration's own per-round checkpoints. Assumes the table at
-    `sf_dir` is immutable for the session (the repo's artifact
-    discipline); localCheckpoint is executor-local, so the production
-    path at cluster scale is the real table write this stands in for.
-    `dedup_clusters` itself stays pure (its registered query/oracle
-    measures the real chain)."""
-    key = (spark.sparkContext.applicationId, str(sf_dir))
-    df = _ASSIGNMENT_MEMO.get(key)
-    if df is None:
-        df = dedup_clusters(spark, sf_dir).localCheckpoint(eager=True)
-        _ASSIGNMENT_MEMO[key] = df
-    return df
+    the CC iteration's own per-round checkpoints. The memo key carries a
+    table stat token, so rewriting the table at `sf_dir` invalidates the
+    entry rather than serving stale clusters; localCheckpoint is
+    executor-local, so the production path at cluster scale is the real
+    table write this stands in for. `dedup_clusters` itself stays pure
+    (its registered query/oracle measures the real chain)."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        _table_token(sf_dir),
+    )
+    with _ASSIGNMENT_LOCK:
+        df = _ASSIGNMENT_MEMO.get(key)
+        if df is not None:
+            _ASSIGNMENT_MEMO.move_to_end(key)
+            return df
+    # materialise outside the lock (minutes-long at scale); a concurrent
+    # first caller may race and compute twice — correctness is unaffected
+    # and the loser's frame is dropped to GC when the dict slot is taken
+    df = dedup_clusters(spark, sf_dir).localCheckpoint(eager=True)
+    with _ASSIGNMENT_LOCK:
+        won = _ASSIGNMENT_MEMO.setdefault(key, df)
+        while len(_ASSIGNMENT_MEMO) > _ASSIGNMENT_CAP:
+            _ASSIGNMENT_MEMO.popitem(last=False)
+    return won
 
 
 # ---------------------------------------------------------------------------

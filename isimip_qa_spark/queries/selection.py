@@ -235,7 +235,8 @@ def cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     face for the LSH bucket caps: a crawl whose top bucket grows round over
     round is accumulating boilerplate families.
 
-    Scale shape: composes dedup_clusters, then two bounded hash aggs —
+    Scale shape: composes the materialised cluster_assignment (16-byte-row
+    scan, no re-run of the CC lineage), then two bounded hash aggs —
     per-cluster counts (8-byte keys, partial-aggregable) and the ≤64-key
     bucket rollup. Bucket id via length(bin(k)) = floor(log2(k)) + 1, the
     same exact integer trick as doclen_histogram (datasheet.py); the DuckDB
