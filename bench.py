@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "c4_line_clean",
     "extract_links",
     "repeat_weights",
+    "encoding_quality",
     # host_families is correctness-gated but not benched: at toy scale its
     # wall time is ~6 connected-components rounds of fixed per-job overhead
     # over a 187-edge host graph (the engine cost of iterative CC is

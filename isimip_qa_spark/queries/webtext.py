@@ -905,3 +905,142 @@ def lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sort would shuffle the whole corpus for presentation only (the
         # driver's comparison is order-insensitive)
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding quality: the mojibake / broken-decode pre-filter every crawl
+# pipeline runs before content rules (ftfy / CCNet territory) — a page that
+# arrived as UTF-8-decoded-as-Latin-1, or whose decoder emitted U+FFFD
+# replacement characters, or that is full of raw C0 control bytes, is
+# garbage no Gopher rule models (its words LOOK like words).
+#
+# Three integer signals, all pure column exprs over one constructed page:
+#   repl_n     count of U+FFFD replacement characters
+#   ctrl_n     count of C0 control chars other than \t \n \r
+#   mojibake_n occurrences of pinned UTF-8-as-Latin-1 sequences (U+00C3
+#              U+00A9 etc. — what one common non-ASCII char becomes under
+#              the double-decode), counted by exact length arithmetic
+#              ((len - len(replace(page, seq, ''))) / len(seq): removals
+#              are whole multiples, so the division is exact on integers)
+# and the gate enc_keep = no replacement chars, no mojibake, control chars
+# under 1 per mille — integer comparisons only, so the boolean is
+# engine-exact with no float in the chain.
+#
+# Fixture plant (the c4_line_clean pattern): the synthetic corpus is clean
+# ASCII, so each corruption branch is planted deterministically by
+# doc_id % 5 and the metric runs over the constructed page; production
+# input passes its own text, everything below the plant is
+# construction-agnostic.
+#
+# Scale shape: one scan -> one projection, zero shuffle, zero Python,
+# whole-stage codegen end to end (asserted in tests/test_encoding.py).
+# The SQL twin builds the identical code points with chr(), so the two
+# sides cannot drift on byte representation.
+# ---------------------------------------------------------------------------
+
+# pinned double-decode sequences: what e-acute, u-umlaut, and the right
+# single quote (U+2019) become when their UTF-8 bytes are re-read as
+# Latin-1 (sequence, char length)
+MOJIBAKE_SEQS: list[tuple[str, int]] = [
+    ("Ã©", 2),
+    ("Ã¼", 2),
+    ("â", 3),
+]
+ENC_CTRL_PER_MILLE = 1  # gate: ctrl_n * 1000 < n_chars (< 0.1% controls)
+
+_CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+_REPL_CHAR = "�"
+
+
+def _enc_plant_expr(text: Column) -> Column:
+    m = F.pmod(F.col("doc_id"), F.lit(5))
+    return F.concat(
+        text,
+        F.when(m == 0, F.lit(" cafÃ© dâhiver"))
+        .when(m == 1, F.lit(" broken � decode"))
+        .when(m == 2, F.lit(" bell\x07bell"))
+        .otherwise(F.lit("")),
+    )
+
+
+def _enc_plant_sql() -> str:
+    return (
+        "text || CASE (doc_id % 5)"
+        "  WHEN 0 THEN ' caf' || chr(195) || chr(169)"
+        "           || ' d' || chr(226) || chr(128) || chr(153) || 'hiver'"
+        "  WHEN 1 THEN ' broken ' || chr(65533) || ' decode'"
+        "  WHEN 2 THEN ' bell' || chr(7) || 'bell'"
+        "  ELSE '' END"
+    )
+
+
+def _seq_count_sql(page: str, seq_chars: list[int], n: int) -> str:
+    lit = " || ".join(f"chr({c})" for c in seq_chars)
+    return f"((length({page}) - length(replace({page}, {lit}, ''))) / {n})"
+
+
+_ENC_SQL = f"""
+    WITH p AS (SELECT doc_id, {_enc_plant_sql()} AS page FROM documents),
+    s AS (
+      SELECT doc_id,
+             length(page)::BIGINT AS n_chars,
+             (length(page) - length(replace(page, chr(65533), '')))::BIGINT
+               AS repl_n,
+             len(regexp_extract_all(page, '{_CTRL_CLASS}'))::BIGINT AS ctrl_n,
+             ({" + ".join(_seq_count_sql("page", [ord(c) for c in seq], n)
+                          for seq, n in MOJIBAKE_SEQS)})::BIGINT AS mojibake_n
+      FROM p
+    )
+    SELECT doc_id, n_chars, repl_n, ctrl_n, mojibake_n,
+           (repl_n = 0 AND mojibake_n = 0
+            AND ctrl_n * 1000 < n_chars) AS enc_keep
+    FROM s
+"""
+
+
+@register("encoding_quality", oracle=_ENC_SQL)
+def encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars, repl_n, ctrl_n, mojibake_n, enc_keep): broken-
+    decode signals over a deterministically corrupted page (module
+    comment) and the integer-exact keep gate."""
+    d = read_table(spark, sf_dir, "documents")
+    page = _enc_plant_expr(F.col("text"))
+
+    def seq_count(p: Column, seq: str, n: int) -> Column:
+        return (
+            (F.length(p) - F.length(F.replace(p, F.lit(seq), F.lit(""))))
+            / F.lit(n)
+        ).cast("long")
+
+    staged = d.select("doc_id", page.alias("page"))
+    p = F.col("page")
+    counts = [seq_count(p, seq, n) for seq, n in MOJIBAKE_SEQS]
+    moji_n = counts[0]
+    for c in counts[1:]:
+        moji_n = moji_n + c
+    s = staged.select(
+        "doc_id",
+        F.length(p).cast("long").alias("n_chars"),
+        (
+            F.length(p)
+            - F.length(F.replace(p, F.lit(_REPL_CHAR), F.lit("")))
+        )
+        .cast("long")
+        .alias("repl_n"),
+        F.size(F.regexp_extract_all(p, F.lit(_CTRL_CLASS), F.lit(0)))
+        .cast("long")
+        .alias("ctrl_n"),
+        moji_n.alias("mojibake_n"),
+    )
+    return s.select(
+        "doc_id",
+        "n_chars",
+        "repl_n",
+        "ctrl_n",
+        "mojibake_n",
+        (
+            (F.col("repl_n") == 0)
+            & (F.col("mojibake_n") == 0)
+            & (F.col("ctrl_n") * 1000 < F.col("n_chars"))
+        ).alias("enc_keep"),
+    )
