@@ -30,11 +30,14 @@ all extractions (/root/reference/isimip_qa/main.py:130-136).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .textstats import CTRL_CLASS, MOJIBAKE_SEQS, REPL_CHAR
 from .scrub import TOXIC_TERMS, _scrub_delta_series
 
 _TOXIC_BYTES = [t.encode("utf-8") for t in TOXIC_TERMS]
@@ -43,7 +46,8 @@ FUSED_SCHEMA = (
     "lang_pred string, avg_logprob double, ppl double, scrub_delta string, "
     "n_words long, mean_word_len double, symbol_ratio double, "
     "distinct_word_ratio double, stopword_ratio double, ellipsis_count long, "
-    "dup_line_frac double, dup_para_frac double, dup_2gram_frac double"
+    "dup_line_frac double, dup_para_frac double, dup_2gram_frac double, "
+    "repl_n long, mojibake_n long, ctrl_frac double"
 )
 
 # combined model: token → id; LP[id] = unigram logprob, LID[id] = language id
@@ -98,6 +102,9 @@ def _fused_series(texts: pd.Series) -> pd.DataFrame:
                 "dup_line_frac": empty_f,
                 "dup_para_frac": empty_f,
                 "dup_2gram_frac": empty_f,
+                "repl_n": empty_i,
+                "mojibake_n": empty_i,
+                "ctrl_frac": empty_f,
             }
         )
 
@@ -255,6 +262,22 @@ def _fused_series(texts: pd.Series) -> pd.DataFrame:
     dup_line = _dup_part_frac("\n")
     dup_para = _dup_part_frac("\n\n")
 
+    # --- encoding-quality signals (textstats.py semantics: exact literal
+    # counts + ctrl fraction over greatest(len, 1); pandas str.count over
+    # the escaped literal == the expression side's non-overlapping
+    # length-arithmetic count, and the int64/int64 -> float64 division is
+    # the same IEEE op both sides) ---
+    n_chars = filled.str.len().to_numpy(dtype=np.int64)
+    repl_n = filled.str.count(re.escape(REPL_CHAR)).to_numpy(dtype=np.int64)
+    moji_n = sum(
+        filled.str.count(re.escape(seq)).to_numpy(dtype=np.int64)
+        for seq, _ in MOJIBAKE_SEQS
+    )
+    ctrl_n = filled.str.count(CTRL_CLASS).to_numpy(dtype=np.int64)
+    ctrl_frac = ctrl_n.astype(np.float64) / np.maximum(n_chars, 1).astype(
+        np.float64
+    )
+
     def _ints(a: np.ndarray) -> pd.Series:
         s = pd.Series(a, dtype="Int64")
         s[na_mask] = pd.NA
@@ -280,6 +303,9 @@ def _fused_series(texts: pd.Series) -> pd.DataFrame:
             "dup_line_frac": _floats(dup_line),
             "dup_para_frac": _floats(dup_para),
             "dup_2gram_frac": _floats(dup_2gram),
+            "repl_n": _ints(repl_n),
+            "mojibake_n": _ints(moji_n),
+            "ctrl_frac": _floats(ctrl_frac),
         }
     )
 

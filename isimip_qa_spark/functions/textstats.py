@@ -321,6 +321,81 @@ EN_STOPWORDS = [
 ]
 
 
+# --- encoding-quality signals (the mojibake / broken-decode gate) ----------
+# Pinned double-decode sequences: what e-acute, u-umlaut, and the right
+# single quote (U+2019) become when their UTF-8 bytes are re-read as
+# Latin-1 — (sequence, char length). Counted by exact length arithmetic
+# ((len - len(replace)) / len(seq)): removals are whole multiples, so the
+# division is exact on integers and identical across Spark / DuckDB /
+# pandas.
+MOJIBAKE_SEQS: list[tuple[str, int]] = [
+    ("\u00c3\u00a9", 2),
+    ("\u00c3\u00bc", 2),
+    ("\u00e2\u0080\u0099", 3),
+]
+CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"  # C0 minus \t \n \r
+REPL_CHAR = "\ufffd"  # U+FFFD
+
+
+def repl_count_expr(text: Column) -> Column:
+    """Count of U+FFFD replacement characters."""
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(REPL_CHAR), F.lit("")))
+    ).cast("long")
+
+
+def mojibake_count_expr(text: Column) -> Column:
+    """Total occurrences of the pinned UTF-8-as-Latin-1 sequences."""
+    counts = [
+        (
+            (F.length(text) - F.length(F.replace(text, F.lit(seq), F.lit(""))))
+            / F.lit(n)
+        ).cast("long")
+        for seq, n in MOJIBAKE_SEQS
+    ]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return total.cast("long")
+
+
+def ctrl_frac_expr(text: Column) -> Column:
+    """Fraction of C0 control chars (other than tab/newline/CR) among all
+    chars; greatest(len, 1) denominator so the empty string is 0.0, not a
+    0/0 NULL-vs-NaN engine divergence."""
+    n = F.size(F.regexp_extract_all(text, F.lit(CTRL_CLASS), F.lit(0)))
+    return n.cast("double") / F.greatest(F.length(text), F.lit(1)).cast(
+        "double"
+    )
+
+
+def repl_count_sql(col: str) -> str:
+    """DuckDB twin of repl_count_expr over the SQL expression `col`."""
+    return (
+        f"(length({col}) - length(replace({col}, chr(65533), '')))::BIGINT"
+    )
+
+
+def mojibake_count_sql(col: str) -> str:
+    """DuckDB twin of mojibake_count_expr — identical code points built
+    with chr(), identical exact length arithmetic."""
+    terms = []
+    for seq, n in MOJIBAKE_SEQS:
+        lit = " || ".join(f"chr({ord(c)})" for c in seq)
+        terms.append(
+            f"((length({col}) - length(replace({col}, {lit}, ''))) / {n})"
+        )
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def ctrl_frac_sql(col: str) -> str:
+    """DuckDB twin of ctrl_frac_expr."""
+    return (
+        f"len(regexp_extract_all({col}, '{CTRL_CLASS}'))::DOUBLE"
+        f" / greatest(length({col}), 1)"
+    )
+
+
 @dataclass(frozen=True)
 class GopherThresholds:
     """Keep/drop thresholds (Gopher §A1.1 defaults, adjusted to our corpora)."""
@@ -342,6 +417,14 @@ class GopherThresholds:
     max_dup_line_frac: float = 0.3
     max_dup_para_frac: float = 0.3
     max_dup_2gram_frac: float = 1.0
+    # Encoding-quality gate (mojibake / broken-decode). Defaults are
+    # inert-by-construction on the clean-ASCII synthetic corpora (measured
+    # 0 signal docs at 20k pages and at sf0.01), so the planted keep rates
+    # are unchanged; exercised with planted corruption in
+    # tests/test_encoding.py.
+    max_repl_chars: int = 0
+    max_mojibake: int = 0
+    max_ctrl_frac: float = 0.001
 
 
 def rule_columns(text: Column, th: GopherThresholds | None = None) -> dict[str, Column]:
@@ -357,6 +440,9 @@ def rule_columns(text: Column, th: GopherThresholds | None = None) -> dict[str, 
         "dup_line_frac": dup_line_frac_expr(text),
         "dup_para_frac": dup_para_frac_expr(text),
         "dup_2gram_frac": dup_2gram_frac_expr(text),
+        "repl_n": repl_count_expr(text),
+        "mojibake_n": mojibake_count_expr(text),
+        "ctrl_frac": ctrl_frac_expr(text),
     }
 
 
@@ -377,4 +463,7 @@ def keep_expr(text: Column, th: GopherThresholds | None = None) -> Column:
         & (c["dup_line_frac"] <= th.max_dup_line_frac)
         & (c["dup_para_frac"] <= th.max_dup_para_frac)
         & (c["dup_2gram_frac"] <= th.max_dup_2gram_frac)
+        & (c["repl_n"] <= th.max_repl_chars)
+        & (c["mojibake_n"] <= th.max_mojibake)
+        & (c["ctrl_frac"] <= th.max_ctrl_frac)
     )

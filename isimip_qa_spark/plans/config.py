@@ -43,6 +43,13 @@ class QAConfig:
     max_dup_line_frac: float = 0.3
     max_dup_para_frac: float = 0.3
     max_dup_2gram_frac: float = 1.0
+    # encoding-quality gate (mojibake / broken-decode). Inert on the
+    # clean-ASCII synthetic corpora (measured 0 signal docs), so planted
+    # keep rates are unchanged; binding thresholds exercised in
+    # tests/test_encoding.py.
+    max_repl_chars: int = 0
+    max_mojibake: int = 0
+    max_ctrl_frac: float = 0.001
     # model-based thresholds
     max_ppl: float = 1500.0
     allowed_langs: tuple[str, ...] = ("en", "es", "fr", "de", "zh")

@@ -76,6 +76,9 @@ _OUT_COLS = [
     ("dup_line_frac", "double"),
     ("dup_para_frac", "double"),
     ("dup_2gram_frac", "double"),
+    ("repl_n", "long"),
+    ("mojibake_n", "long"),
+    ("ctrl_frac", "double"),
     ("scrubbed", "boolean"),
     ("keep", "boolean"),
 ]
@@ -110,6 +113,9 @@ def _keep_series(s: pd.DataFrame, cfg) -> pd.Series:
         & (s["dup_line_frac"] <= cfg.max_dup_line_frac)
         & (s["dup_para_frac"] <= cfg.max_dup_para_frac)
         & (s["dup_2gram_frac"] <= cfg.max_dup_2gram_frac)
+        & (s["repl_n"] <= cfg.max_repl_chars)
+        & (s["mojibake_n"] <= cfg.max_mojibake)
+        & (s["ctrl_frac"] <= cfg.max_ctrl_frac)
         & (s["ppl"] <= cfg.max_ppl)
         & s["lang_pred"].isin(list(cfg.allowed_langs))
     )

@@ -57,6 +57,9 @@ def _rules(df: DataFrame, cfg: QAConfig) -> DataFrame:
             "dup_line_frac": ts.dup_line_frac_expr(text),
             "dup_para_frac": ts.dup_para_frac_expr(text),
             "dup_2gram_frac": ts.dup_2gram_frac_expr(text),
+            "repl_n": ts.repl_count_expr(text),
+            "mojibake_n": ts.mojibake_count_expr(text),
+            "ctrl_frac": ts.ctrl_frac_expr(text),
         }
     )
 
@@ -81,6 +84,9 @@ def rules_pass_expr(cfg: QAConfig) -> Column:
         & (F.col("dup_line_frac") <= cfg.max_dup_line_frac)
         & (F.col("dup_para_frac") <= cfg.max_dup_para_frac)
         & (F.col("dup_2gram_frac") <= cfg.max_dup_2gram_frac)
+        & (F.col("repl_n") <= cfg.max_repl_chars)
+        & (F.col("mojibake_n") <= cfg.max_mojibake)
+        & (F.col("ctrl_frac") <= cfg.max_ctrl_frac)
     )
 
 
@@ -124,6 +130,9 @@ def _python_scores_fused(df: DataFrame, cfg: QAConfig) -> DataFrame:
             "dup_line_frac": s["dup_line_frac"],
             "dup_para_frac": s["dup_para_frac"],
             "dup_2gram_frac": s["dup_2gram_frac"],
+            "repl_n": s["repl_n"],
+            "mojibake_n": s["mojibake_n"],
+            "ctrl_frac": s["ctrl_frac"],
         }
     )
 
@@ -138,6 +147,7 @@ STAGES: list[Stage] = [
             "n_words", "mean_word_len", "symbol_ratio",
             "distinct_word_ratio", "stopword_ratio", "ellipsis_count",
             "dup_line_frac", "dup_para_frac", "dup_2gram_frac",
+            "repl_n", "mojibake_n", "ctrl_frac",
         ),
     ),
     Stage("scrub", _scrub, ("scrub_delta",)),
@@ -155,6 +165,7 @@ FUSED_STAGES: list[Stage] = [
             "n_words", "mean_word_len", "symbol_ratio",
             "distinct_word_ratio", "stopword_ratio", "ellipsis_count",
             "dup_line_frac", "dup_para_frac", "dup_2gram_frac",
+            "repl_n", "mojibake_n", "ctrl_frac",
         ),
     ),
     STAGES[4],  # decision

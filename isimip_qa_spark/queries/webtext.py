@@ -57,14 +57,18 @@ _GOPHER_SQL = f"""
              len(regexp_extract_all(text, '\\.\\.\\.'))::BIGINT AS ellipsis_count,
              {_dup_frac_sql("string_split(text, chr(10))")} AS dup_line_frac,
              {_dup_frac_sql("string_split(text, chr(10) || chr(10))")} AS dup_para_frac,
-             {_dup_frac_sql(_2GRAMS_SQL)} AS dup_2gram_frac
+             {_dup_frac_sql(_2GRAMS_SQL)} AS dup_2gram_frac,
+             {ts.repl_count_sql("text")} AS repl_n,
+             {ts.mojibake_count_sql("text")} AS mojibake_n,
+             {ts.ctrl_frac_sql("text")} AS ctrl_frac
       FROM documents
     )
     SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
            round(symbol_ratio, 6) AS symbol_ratio,
            round(distinct_word_ratio, 6) AS distinct_word_ratio,
            round(stopword_ratio, 6) AS stopword_ratio,
-           ellipsis_count,
+           ellipsis_count, repl_n, mojibake_n,
+           round(ctrl_frac, 6) AS ctrl_frac,
            (n_words >= 50 AND n_words <= 100000
             AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
             AND symbol_ratio <= 0.1
@@ -73,7 +77,9 @@ _GOPHER_SQL = f"""
             AND ellipsis_count <= 5
             AND dup_line_frac <= 0.3
             AND dup_para_frac <= 0.3
-            AND dup_2gram_frac <= 1.0) AS keep
+            AND dup_2gram_frac <= 1.0
+            AND repl_n <= 0 AND mojibake_n <= 0
+            AND ctrl_frac <= 0.001) AS keep
     FROM s
 """
 
@@ -91,6 +97,9 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cols["distinct_word_ratio"], 6).alias("distinct_word_ratio"),
         F.round(cols["stopword_ratio"], 6).alias("stopword_ratio"),
         cols["ellipsis_count"].alias("ellipsis_count"),
+        cols["repl_n"].alias("repl_n"),
+        cols["mojibake_n"].alias("mojibake_n"),
+        F.round(cols["ctrl_frac"], 6).alias("ctrl_frac"),
         ts.keep_expr(text).alias("keep"),
     )
 
@@ -112,7 +121,10 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              {_dup_frac_sql("string_split(text, chr(10))")} AS dup_line_frac,
              {_dup_frac_sql("string_split(text, chr(10) || chr(10))")} AS dup_para_frac,
-             {_dup_frac_sql(_2GRAMS_SQL)} AS dup_2gram_frac
+             {_dup_frac_sql(_2GRAMS_SQL)} AS dup_2gram_frac,
+             {ts.repl_count_sql("text")} AS repl_n,
+             {ts.mojibake_count_sql("text")} AS mojibake_n,
+             {ts.ctrl_frac_sql("text")} AS ctrl_frac
       FROM documents
     )
     SELECT doc_id,
@@ -615,7 +627,10 @@ _FUNNEL_STATS_SQL = f"""
              len(regexp_extract_all(text, '\\.\\.\\.'))::BIGINT AS ellipsis_count,
              {_dup_frac_sql("string_split(text, chr(10))")} AS dup_line_frac,
              {_dup_frac_sql("string_split(text, chr(10) || chr(10))")} AS dup_para_frac,
-             {_dup_frac_sql(_2GRAMS_SQL)} AS dup_2gram_frac
+             {_dup_frac_sql(_2GRAMS_SQL)} AS dup_2gram_frac,
+             {ts.repl_count_sql("text")} AS repl_n,
+             {ts.mojibake_count_sql("text")} AS mojibake_n,
+             {ts.ctrl_frac_sql("text")} AS ctrl_frac
       FROM documents
 """
 
@@ -938,18 +953,13 @@ def lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sides cannot drift on byte representation.
 # ---------------------------------------------------------------------------
 
-# pinned double-decode sequences: what e-acute, u-umlaut, and the right
-# single quote (U+2019) become when their UTF-8 bytes are re-read as
-# Latin-1 (sequence, char length)
-MOJIBAKE_SEQS: list[tuple[str, int]] = [
-    ("Ã©", 2),
-    ("Ã¼", 2),
-    ("â", 3),
-]
-ENC_CTRL_PER_MILLE = 1  # gate: ctrl_n * 1000 < n_chars (< 0.1% controls)
-
-_CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
-_REPL_CHAR = "�"
+# the pinned sequences / classes live in functions/textstats.py
+# (they are part of the keep-gate contract); aliased here for the
+# fixture plant and the standalone-query oracle
+MOJIBAKE_SEQS = ts.MOJIBAKE_SEQS
+ENC_CTRL_PER_MILLE = 1  # standalone gate: ctrl_n * 1000 < n_chars
+_CTRL_CLASS = ts.CTRL_CLASS
+_REPL_CHAR = ts.REPL_CHAR
 
 
 def _enc_plant_expr(text: Column) -> Column:

@@ -21,10 +21,16 @@ import pandas as pd
 from isimip_qa_spark.functions.langid import LANG_ORDER, LANG_STOPWORDS
 from isimip_qa_spark.functions.perplexity import MODEL, OOV_LOGPROB
 from isimip_qa_spark.functions.scrub import ALL_PATTERNS
+from isimip_qa_spark.functions.textstats import (
+    CTRL_CLASS,
+    MOJIBAKE_SEQS,
+    REPL_CHAR,
+)
 from isimip_qa_spark.plans.config import QAConfig
 
 _SYMBOL_RE = re.compile(r"[!-/:-@\[-`{-~]")
 _ELLIPSIS_RE = re.compile(r"\.\.\.")
+_CTRL_RE = re.compile(CTRL_CLASS)
 
 
 def qa_frame(pages: pd.DataFrame, cfg: QAConfig | None = None) -> pd.DataFrame:
@@ -69,6 +75,19 @@ def qa_frame(pages: pd.DataFrame, cfg: QAConfig | None = None) -> pd.DataFrame:
         for t, tk in zip(texts, tok_lists)
     ]
 
+    # encoding-quality signals (independent formulation: Python str.count
+    # over the pinned literals, regex findall for the control class)
+    out["repl_n"] = np.array(
+        [t.count(REPL_CHAR) for t in texts], dtype=np.int64
+    )
+    out["mojibake_n"] = np.array(
+        [sum(t.count(seq) for seq, _ in MOJIBAKE_SEQS) for t in texts],
+        dtype=np.int64,
+    )
+    out["ctrl_frac"] = np.array(
+        [len(_CTRL_RE.findall(t)) / max(len(t), 1) for t in texts]
+    )
+
     # language-ID: stop-word occurrence argmax, LANG_ORDER tie-break
     lang_sets = {lg: set(ws) for lg, ws in LANG_STOPWORDS.items()}
     preds = []
@@ -107,6 +126,9 @@ def qa_frame(pages: pd.DataFrame, cfg: QAConfig | None = None) -> pd.DataFrame:
         & (out["dup_line_frac"] <= cfg.max_dup_line_frac)
         & (out["dup_para_frac"] <= cfg.max_dup_para_frac)
         & (out["dup_2gram_frac"] <= cfg.max_dup_2gram_frac)
+        & (out["repl_n"] <= cfg.max_repl_chars)
+        & (out["mojibake_n"] <= cfg.max_mojibake)
+        & (out["ctrl_frac"] <= cfg.max_ctrl_frac)
         & (out["ppl"] <= cfg.max_ppl)
         & (out["lang_pred"].isin(list(cfg.allowed_langs)))
     )

@@ -87,3 +87,35 @@ def test_plan_is_one_projection(spark, sf_dir):
     # "*(1)" is executedPlan().toString()'s whole-stage-codegen stage
     # marker: the whole query is one codegen span over the scan
     assert "*(1)" in plan and "*(2)" not in plan
+
+
+def test_keep_gate_trips_on_planted_corruption(spark):
+    """keep_expr with DEFAULT thresholds drops a document for each
+    encoding signal while the identical clean text is kept — the
+    binding-threshold proof that the gate is live, not decorative."""
+    from pyspark.sql import functions as F
+
+    from isimip_qa_spark.functions import textstats as ts
+
+    words = []
+    for i in range(60):
+        words.append("the" if i % 4 == 0 else f"word{i}")
+    clean = " ".join(words) + "."
+    rows = [
+        ("clean", clean),
+        ("ctrl", clean + " bell\x07bell"),
+        ("repl", clean + " broken � decode"),
+        ("moji", clean + " caf\u00c3\u00a9 d\u00e2\u0080\u0099hiver"),
+    ]
+    got = {
+        r["k"]: bool(r["keep"])
+        for r in spark.createDataFrame(rows, "k string, text string")
+        .select("k", ts.keep_expr(F.col("text")).alias("keep"))
+        .collect()
+    }
+    assert got == {
+        "clean": True,
+        "ctrl": False,
+        "repl": False,
+        "moji": False,
+    }

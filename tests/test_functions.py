@@ -132,6 +132,7 @@ def test_fused_equals_unfused(spark, pages_sdf):
     for col in [
         "lang_pred", "avg_logprob", "ppl", "text_scrubbed", "keep", "scrubbed",
         "dup_line_frac", "dup_para_frac", "dup_2gram_frac",
+        "repl_n", "mojibake_n", "ctrl_frac",
     ]:
         assert fused[col].tolist() == plain[col].tolist(), col
 
