@@ -37,7 +37,14 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .textstats import CTRL_CLASS, MOJIBAKE_SEQS, REPL_CHAR
+from .textstats import (
+    BULLET_LINE_RE,
+    CTRL_CLASS,
+    ELLIPSIS_SUFFIXES,
+    MOJIBAKE_SEQS,
+    REPL_CHAR,
+    WORDLIKE_RE,
+)
 from .scrub import TOXIC_TERMS, _scrub_delta_series
 
 _TOXIC_BYTES = [t.encode("utf-8") for t in TOXIC_TERMS]
@@ -47,7 +54,9 @@ FUSED_SCHEMA = (
     "n_words long, mean_word_len double, symbol_ratio double, "
     "distinct_word_ratio double, stopword_ratio double, ellipsis_count long, "
     "dup_line_frac double, dup_para_frac double, dup_2gram_frac double, "
-    "repl_n long, mojibake_n long, ctrl_frac double"
+    "repl_n long, mojibake_n long, ctrl_frac double, "
+    "bullet_line_frac double, ellipsis_line_frac double, "
+    "alpha_word_frac double"
 )
 
 # combined model: token → id; LP[id] = unigram logprob, LID[id] = language id
@@ -105,6 +114,9 @@ def _fused_series(texts: pd.Series) -> pd.DataFrame:
                 "repl_n": empty_i,
                 "mojibake_n": empty_i,
                 "ctrl_frac": empty_f,
+                "bullet_line_frac": empty_f,
+                "ellipsis_line_frac": empty_f,
+                "alpha_word_frac": empty_f,
             }
         )
 
@@ -278,6 +290,35 @@ def _fused_series(texts: pd.Series) -> pd.DataFrame:
         np.float64
     )
 
+    # --- Gopher format rules (textstats.py expression semantics) ---
+    # Line rules: one split+explode serves both; per-doc line count is
+    # '\n' count + 1 (Java split(-1) parity, as in _dup_part_frac). The
+    # bullet test is re.match == the expression side's ^-anchored rlike;
+    # the ellipsis test is str.endswith == Column.endswith.
+    lines_total = (
+        filled.str.count("\n").to_numpy(dtype=np.int64) + 1
+    ).astype(np.float64)
+    lparts = filled.str.split("\n", regex=False).explode()
+    lidx = lparts.index.to_numpy(dtype=np.int64)
+    bull = lparts.str.match(BULLET_LINE_RE).to_numpy(dtype=bool)
+    bullet_frac = np.bincount(lidx[bull], minlength=n) / lines_total
+    ends = lparts.str.endswith(ELLIPSIS_SUFFIXES[0])
+    for _suf in ELLIPSIS_SUFFIXES[1:]:
+        ends = ends | lparts.str.endswith(_suf)
+    ell_line_frac = (
+        np.bincount(lidx[ends.to_numpy(dtype=bool)], minlength=n)
+        / lines_total
+    )
+    # Alphabetic-word fraction: the wordlike regex probes only UNIQUE
+    # tokens (str.contains == rlike, both unanchored search), then a
+    # gather over the code array + bincount gives per-doc hits.
+    u_word = (
+        pd.Series(uniques, dtype=object)
+        .str.contains(WORDLIKE_RE, regex=True)
+        .to_numpy(dtype=bool)
+    )
+    alpha_frac = np.bincount(idx[u_word[codes]], minlength=n) / fcounts
+
     def _ints(a: np.ndarray) -> pd.Series:
         s = pd.Series(a, dtype="Int64")
         s[na_mask] = pd.NA
@@ -306,6 +347,9 @@ def _fused_series(texts: pd.Series) -> pd.DataFrame:
             "repl_n": _ints(repl_n),
             "mojibake_n": _ints(moji_n),
             "ctrl_frac": _floats(ctrl_frac),
+            "bullet_line_frac": _floats(bullet_frac),
+            "ellipsis_line_frac": _floats(ell_line_frac),
+            "alpha_word_frac": _floats(alpha_frac),
         }
     )
 

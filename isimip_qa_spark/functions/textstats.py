@@ -228,13 +228,83 @@ def ellipsis_count_expr(text: Column) -> Column:
     return F.regexp_count(text, F.lit(r"\.\.\.")).cast("long")
 
 
-def bullet_start_expr(text: Column) -> Column:
-    """Fraction of lines starting with a bullet glyph."""
+# --- Gopher §A1.1 document-format rules -----------------------------------
+# Patterns drawn from the engine-portable subset (module notes below on
+# C4_WORD_RE): explicit `[ \t]` instead of `\s` (Java's \s ≠ RE2's), the
+# line list from a plain '\n' split (the same line definition as the
+# dup_line_frac repetition rule), and suffix tests via endswith instead of
+# a `$` anchor (Java's `$` matches before a trailing '\r'; RE2's does not).
+BULLET_LINE_RE = r"^[ \t]*[-*•]"
+ELLIPSIS_SUFFIXES: tuple[str, ...] = ("...", "…")
+# A token is "wordlike" iff it contains ≥1 char that is not whitespace, an
+# ASCII digit, or ASCII punctuation. A NEGATED ASCII class rather than a
+# letter class: Java/RE2/Python disagree at the margins of \p{L}-style
+# Unicode letter properties, but all three read an enumerated-ASCII
+# complement identically — and it keeps CJK text (no [A-Za-z] anywhere)
+# correctly wordlike, which is Gopher's intent for the ≥80% rule.
+WORDLIKE_RE = r"[^ \t\n\r0-9!-/:-@\[-`{-~]"
+
+
+def bullet_line_frac_expr(text: Column) -> Column:
+    """Fraction of lines starting with a bullet glyph (-, * or •) after
+    optional space/tab indent — Gopher drops documents where > 90% of
+    lines do. Empty text is one empty line → 0.0."""
     lines = F.split(text, "\n")
-    bullets = F.size(
-        F.filter(lines, lambda ln: ln.rlike(r"^\s*[-*•]"))
-    )
+    bullets = F.size(F.filter(lines, lambda ln: ln.rlike(BULLET_LINE_RE)))
     return bullets.cast("double") / F.size(lines).cast("double")
+
+
+def ellipsis_line_frac_expr(text: Column) -> Column:
+    """Fraction of lines ending in an ellipsis ('...' or U+2026) — Gopher
+    drops documents where > 30% of lines do. endswith, not a `$`-anchored
+    regex (portability note above)."""
+    lines = F.split(text, "\n")
+
+    def _ends(ln: Column) -> Column:
+        out = ln.endswith(ELLIPSIS_SUFFIXES[0])
+        for suf in ELLIPSIS_SUFFIXES[1:]:
+            out = out | ln.endswith(suf)
+        return out
+
+    hits = F.size(F.filter(lines, _ends))
+    return hits.cast("double") / F.size(lines).cast("double")
+
+
+def alpha_word_frac_expr(text: Column) -> Column:
+    """Fraction of tokens that are wordlike (WORDLIKE_RE note above) —
+    Gopher keeps documents where ≥ 80% of words contain at least one
+    alphabetic character."""
+    toks = tokens_expr(text)
+    hits = F.size(F.filter(toks, lambda x: x.rlike(WORDLIKE_RE)))
+    return hits.cast("double") / F.size(toks).cast("double")
+
+
+def bullet_line_frac_sql(col: str) -> str:
+    """DuckDB twin of bullet_line_frac_expr (byte-identical pattern)."""
+    lines = f"string_split({col}, chr(10))"
+    return (
+        f"len(list_filter({lines}, x -> regexp_matches(x,"
+        f" '{BULLET_LINE_RE}')))::DOUBLE / len({lines})"
+    )
+
+
+def ellipsis_line_frac_sql(col: str) -> str:
+    """DuckDB twin of ellipsis_line_frac_expr."""
+    lines = f"string_split({col}, chr(10))"
+    tests = " OR ".join(
+        "ends_with(x, " + " || ".join(f"chr({ord(c)})" for c in suf) + ")"
+        for suf in ELLIPSIS_SUFFIXES
+    )
+    return f"len(list_filter({lines}, x -> {tests}))::DOUBLE / len({lines})"
+
+
+def alpha_word_frac_sql(col: str) -> str:
+    """DuckDB twin of alpha_word_frac_expr (byte-identical pattern)."""
+    toks = f"string_split({col}, ' ')"
+    return (
+        f"len(list_filter({toks}, x -> regexp_matches(x,"
+        f" '{WORDLIKE_RE}')))::DOUBLE / len({toks})"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -425,32 +495,94 @@ class GopherThresholds:
     max_repl_chars: int = 0
     max_mojibake: int = 0
     max_ctrl_frac: float = 0.001
+    # Document-format gate (Gopher §A1.1: bullet / ellipsis-line /
+    # alphabetic-word rules). Defaults are the paper's and inert on the
+    # synthetic corpora (measured: 0 kept docs flip at 20k pages and 0
+    # trips at sf0.001/0.01/0.1); exercised with planted format
+    # violations in tests/test_format_rules.py.
+    max_bullet_line_frac: float = 0.9
+    max_ellipsis_line_frac: float = 0.3
+    min_alpha_word_frac: float = 0.8
 
 
-def rule_columns(text: Column, th: GopherThresholds | None = None) -> dict[str, Column]:
-    """All heuristic rule statistics for one text column, as named exprs."""
+def rule_columns(
+    text: Column,
+    th: GopherThresholds | None = None,
+    *,
+    toks: Column | None = None,
+    ltoks: Column | None = None,
+    lines: Column | None = None,
+) -> dict[str, Column]:
+    """All heuristic rule statistics for one text column, as named exprs.
+
+    `toks` / `ltoks` / `lines` optionally take PRE-STAGED array columns
+    (split(text,' '), split(lower(text),' '), split(text,'\\n')) so a
+    report query can project the splits once and share them across every
+    rule — higher-order exprs get no common-subexpression elimination, so
+    without staging the token list is rebuilt ~6× and the line list 3×
+    per row (the c4_line_clean staged-projection pattern). Defaults build
+    the identical trees from `text`, so single-expression callers
+    (filters, keep_expr) are unchanged."""
     th = th or GopherThresholds()
+    toks = tokens_expr(text) if toks is None else toks
+    ltoks = tokens_expr(F.lower(text)) if ltoks is None else ltoks
+    lines = F.split(text, "\n") if lines is None else lines
+    nw = F.size(toks).cast("long")
+    fw = F.size(toks).cast("double")
+    nl = F.size(lines).cast("double")
+    sw = F.lit(EN_STOPWORDS)
+
+    def _ell_line(ln: Column) -> Column:
+        out = ln.endswith(ELLIPSIS_SUFFIXES[0])
+        for suf in ELLIPSIS_SUFFIXES[1:]:
+            out = out | ln.endswith(suf)
+        return out
+
     return {
-        "n_words": n_words_expr(text),
-        "mean_word_len": mean_word_len_expr(text),
-        "symbol_ratio": symbol_ratio_expr(text),
-        "distinct_word_ratio": distinct_word_ratio_expr(text),
-        "stopword_ratio": stopword_ratio_expr(text, EN_STOPWORDS),
+        "n_words": nw,
+        "mean_word_len": F.length(
+            F.replace(text, F.lit(" "), F.lit(""))
+        ).cast("double")
+        / fw,
+        "symbol_ratio": F.regexp_count(text, F.lit(SYMBOL_CLASS)).cast(
+            "double"
+        )
+        / fw,
+        "distinct_word_ratio": F.size(F.array_distinct(toks)).cast("double")
+        / fw,
+        "stopword_ratio": F.size(
+            F.filter(ltoks, lambda x: F.array_contains(sw, x))
+        ).cast("double")
+        / fw,
         "ellipsis_count": ellipsis_count_expr(text),
-        "dup_line_frac": dup_line_frac_expr(text),
+        "dup_line_frac": _dup_frac(lines),
         "dup_para_frac": dup_para_frac_expr(text),
-        "dup_2gram_frac": dup_2gram_frac_expr(text),
+        "dup_2gram_frac": _dup_frac(word_2grams_expr(toks)),
         "repl_n": repl_count_expr(text),
         "mojibake_n": mojibake_count_expr(text),
         "ctrl_frac": ctrl_frac_expr(text),
+        "bullet_line_frac": F.size(
+            F.filter(lines, lambda ln: ln.rlike(BULLET_LINE_RE))
+        ).cast("double")
+        / nl,
+        "ellipsis_line_frac": F.size(F.filter(lines, _ell_line)).cast(
+            "double"
+        )
+        / nl,
+        "alpha_word_frac": F.size(
+            F.filter(toks, lambda x: x.rlike(WORDLIKE_RE))
+        ).cast("double")
+        / fw,
     }
 
 
-def keep_expr(text: Column, th: GopherThresholds | None = None) -> Column:
-    """The keep/drop decision: a single boolean expression over the rules
-    (reference analogue: the implicit per-dataset 'assessment')."""
+def keep_from(
+    c: dict[str, Column], th: GopherThresholds | None = None
+) -> Column:
+    """The keep/drop decision over already-built rule columns (the staged
+    form: pass `rule_columns(...)` output, or F.col refs to a projection
+    of it)."""
     th = th or GopherThresholds()
-    c = rule_columns(text, th)
     return (
         (c["n_words"] >= th.min_words)
         & (c["n_words"] <= th.max_words)
@@ -466,4 +598,14 @@ def keep_expr(text: Column, th: GopherThresholds | None = None) -> Column:
         & (c["repl_n"] <= th.max_repl_chars)
         & (c["mojibake_n"] <= th.max_mojibake)
         & (c["ctrl_frac"] <= th.max_ctrl_frac)
+        & (c["bullet_line_frac"] <= th.max_bullet_line_frac)
+        & (c["ellipsis_line_frac"] <= th.max_ellipsis_line_frac)
+        & (c["alpha_word_frac"] >= th.min_alpha_word_frac)
     )
+
+
+def keep_expr(text: Column, th: GopherThresholds | None = None) -> Column:
+    """The keep/drop decision: a single boolean expression over the rules
+    (reference analogue: the implicit per-dataset 'assessment')."""
+    th = th or GopherThresholds()
+    return keep_from(rule_columns(text, th), th)

@@ -50,6 +50,13 @@ class QAConfig:
     max_repl_chars: int = 0
     max_mojibake: int = 0
     max_ctrl_frac: float = 0.001
+    # document-format gate (Gopher §A1.1 bullet / ellipsis-line /
+    # alphabetic-word rules). Paper defaults; inert on the synthetic
+    # corpora (0 kept docs flip), binding thresholds exercised in
+    # tests/test_format_rules.py.
+    max_bullet_line_frac: float = 0.9
+    max_ellipsis_line_frac: float = 0.3
+    min_alpha_word_frac: float = 0.8
     # model-based thresholds
     max_ppl: float = 1500.0
     allowed_langs: tuple[str, ...] = ("en", "es", "fr", "de", "zh")

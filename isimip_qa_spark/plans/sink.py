@@ -79,6 +79,9 @@ _OUT_COLS = [
     ("repl_n", "long"),
     ("mojibake_n", "long"),
     ("ctrl_frac", "double"),
+    ("bullet_line_frac", "double"),
+    ("ellipsis_line_frac", "double"),
+    ("alpha_word_frac", "double"),
     ("scrubbed", "boolean"),
     ("keep", "boolean"),
 ]
@@ -116,6 +119,9 @@ def _keep_series(s: pd.DataFrame, cfg) -> pd.Series:
         & (s["repl_n"] <= cfg.max_repl_chars)
         & (s["mojibake_n"] <= cfg.max_mojibake)
         & (s["ctrl_frac"] <= cfg.max_ctrl_frac)
+        & (s["bullet_line_frac"] <= cfg.max_bullet_line_frac)
+        & (s["ellipsis_line_frac"] <= cfg.max_ellipsis_line_frac)
+        & (s["alpha_word_frac"] >= cfg.min_alpha_word_frac)
         & (s["ppl"] <= cfg.max_ppl)
         & s["lang_pred"].isin(list(cfg.allowed_langs))
     )

@@ -60,6 +60,9 @@ def _rules(df: DataFrame, cfg: QAConfig) -> DataFrame:
             "repl_n": ts.repl_count_expr(text),
             "mojibake_n": ts.mojibake_count_expr(text),
             "ctrl_frac": ts.ctrl_frac_expr(text),
+            "bullet_line_frac": ts.bullet_line_frac_expr(text),
+            "ellipsis_line_frac": ts.ellipsis_line_frac_expr(text),
+            "alpha_word_frac": ts.alpha_word_frac_expr(text),
         }
     )
 
@@ -87,6 +90,9 @@ def rules_pass_expr(cfg: QAConfig) -> Column:
         & (F.col("repl_n") <= cfg.max_repl_chars)
         & (F.col("mojibake_n") <= cfg.max_mojibake)
         & (F.col("ctrl_frac") <= cfg.max_ctrl_frac)
+        & (F.col("bullet_line_frac") <= cfg.max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= cfg.max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= cfg.min_alpha_word_frac)
     )
 
 
@@ -133,6 +139,9 @@ def _python_scores_fused(df: DataFrame, cfg: QAConfig) -> DataFrame:
             "repl_n": s["repl_n"],
             "mojibake_n": s["mojibake_n"],
             "ctrl_frac": s["ctrl_frac"],
+            "bullet_line_frac": s["bullet_line_frac"],
+            "ellipsis_line_frac": s["ellipsis_line_frac"],
+            "alpha_word_frac": s["alpha_word_frac"],
         }
     )
 
@@ -148,6 +157,7 @@ STAGES: list[Stage] = [
             "distinct_word_ratio", "stopword_ratio", "ellipsis_count",
             "dup_line_frac", "dup_para_frac", "dup_2gram_frac",
             "repl_n", "mojibake_n", "ctrl_frac",
+            "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
         ),
     ),
     Stage("scrub", _scrub, ("scrub_delta",)),
@@ -166,6 +176,7 @@ FUSED_STAGES: list[Stage] = [
             "distinct_word_ratio", "stopword_ratio", "ellipsis_count",
             "dup_line_frac", "dup_para_frac", "dup_2gram_frac",
             "repl_n", "mojibake_n", "ctrl_frac",
+            "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
         ),
     ),
     STAGES[4],  # decision

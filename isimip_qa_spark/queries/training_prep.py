@@ -60,6 +60,12 @@ _KEEP_SQL = f"""(
   AND {_dup_frac_sql("string_split(text, chr(10))")} <= {_TH.max_dup_line_frac}
   AND {_dup_frac_sql("string_split(text, chr(10) || chr(10))")} <= {_TH.max_dup_para_frac}
   AND {_dup_frac_sql(_2GRAMS_SQL)} <= {_TH.max_dup_2gram_frac}
+  AND {ts.repl_count_sql("text")} <= {_TH.max_repl_chars}
+  AND {ts.mojibake_count_sql("text")} <= {_TH.max_mojibake}
+  AND {ts.ctrl_frac_sql("text")} <= {_TH.max_ctrl_frac}
+  AND {ts.bullet_line_frac_sql("text")} <= {_TH.max_bullet_line_frac}
+  AND {ts.ellipsis_line_frac_sql("text")} <= {_TH.max_ellipsis_line_frac}
+  AND {ts.alpha_word_frac_sql("text")} >= {_TH.min_alpha_word_frac}
 )"""
 
 _NG = ngrams_sql(_T, K)

@@ -60,7 +60,10 @@ _GOPHER_SQL = f"""
              {_dup_frac_sql(_2GRAMS_SQL)} AS dup_2gram_frac,
              {ts.repl_count_sql("text")} AS repl_n,
              {ts.mojibake_count_sql("text")} AS mojibake_n,
-             {ts.ctrl_frac_sql("text")} AS ctrl_frac
+             {ts.ctrl_frac_sql("text")} AS ctrl_frac,
+             {ts.bullet_line_frac_sql("text")} AS bullet_line_frac,
+             {ts.ellipsis_line_frac_sql("text")} AS ellipsis_line_frac,
+             {ts.alpha_word_frac_sql("text")} AS alpha_word_frac
       FROM documents
     )
     SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
@@ -69,6 +72,9 @@ _GOPHER_SQL = f"""
            round(stopword_ratio, 6) AS stopword_ratio,
            ellipsis_count, repl_n, mojibake_n,
            round(ctrl_frac, 6) AS ctrl_frac,
+           round(bullet_line_frac, 6) AS bullet_line_frac,
+           round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+           round(alpha_word_frac, 6) AS alpha_word_frac,
            (n_words >= 50 AND n_words <= 100000
             AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
             AND symbol_ratio <= 0.1
@@ -79,28 +85,60 @@ _GOPHER_SQL = f"""
             AND dup_para_frac <= 0.3
             AND dup_2gram_frac <= 1.0
             AND repl_n <= 0 AND mojibake_n <= 0
-            AND ctrl_frac <= 0.001) AS keep
+            AND ctrl_frac <= 0.001
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8) AS keep
     FROM s
 """
+
+
+_ROUND6_RULES = (
+    "mean_word_len", "symbol_ratio", "distinct_word_ratio",
+    "stopword_ratio", "ctrl_frac", "bullet_line_frac",
+    "ellipsis_line_frac", "alpha_word_frac",
+)
+
+
+def _staged_rule_cols(d: DataFrame) -> DataFrame:
+    """documents → one projection staging the three split arrays, then one
+    projection evaluating every rule statistic exactly once (the
+    c4_line_clean staged pattern: HOFs get no CSE, and CollapseProject
+    keeps multi-referenced non-cheap exprs staged). Output: doc_id + one
+    raw column per rule."""
+    text = F.col("text")
+    staged = d.select(
+        "doc_id",
+        "text",
+        ts.tokens_expr(text).alias("_toks"),
+        ts.tokens_expr(F.lower(text)).alias("_ltoks"),
+        F.split(text, "\n").alias("_lines"),
+    )
+    cols = ts.rule_columns(
+        F.col("text"),
+        toks=F.col("_toks"),
+        ltoks=F.col("_ltoks"),
+        lines=F.col("_lines"),
+    )
+    return staged.select(
+        "doc_id", *[v.alias(k) for k, v in cols.items()]
+    )
 
 
 @register("gopher_rules", oracle=_GOPHER_SQL)
 def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    text = F.col("text")
-    cols = ts.rule_columns(text)
-    return d.select(
+    r = _staged_rule_cols(d)
+    keep = ts.keep_from({k: F.col(k) for k in r.columns if k != "doc_id"})
+    return r.select(
         "doc_id",
-        cols["n_words"].alias("n_words"),
-        F.round(cols["mean_word_len"], 6).alias("mean_word_len"),
-        F.round(cols["symbol_ratio"], 6).alias("symbol_ratio"),
-        F.round(cols["distinct_word_ratio"], 6).alias("distinct_word_ratio"),
-        F.round(cols["stopword_ratio"], 6).alias("stopword_ratio"),
-        cols["ellipsis_count"].alias("ellipsis_count"),
-        cols["repl_n"].alias("repl_n"),
-        cols["mojibake_n"].alias("mojibake_n"),
-        F.round(cols["ctrl_frac"], 6).alias("ctrl_frac"),
-        ts.keep_expr(text).alias("keep"),
+        "n_words",
+        *[F.round(F.col(k), 6).alias(k) if k in _ROUND6_RULES else F.col(k)
+          for k in ("mean_word_len", "symbol_ratio", "distinct_word_ratio",
+                    "stopword_ratio", "ellipsis_count", "repl_n",
+                    "mojibake_n", "ctrl_frac", "bullet_line_frac",
+                    "ellipsis_line_frac", "alpha_word_frac")],
+        keep.alias("keep"),
     )
 
 
@@ -614,6 +652,12 @@ _FUNNEL_RULES = [
     ("dup_line_frac", "dup_line_frac > 0.3"),
     ("dup_para_frac", "dup_para_frac > 0.3"),
     ("dup_2gram_frac", "dup_2gram_frac > 1.0"),
+    ("repl_n", "repl_n > 0"),
+    ("mojibake_n", "mojibake_n > 0"),
+    ("ctrl_frac", "ctrl_frac > 0.001"),
+    ("bullet_line_frac", "bullet_line_frac > 0.9"),
+    ("ellipsis_line_frac", "ellipsis_line_frac > 0.3"),
+    ("alpha_word_frac", "alpha_word_frac < 0.8"),
 ]
 
 _FUNNEL_STATS_SQL = f"""
@@ -630,7 +674,10 @@ _FUNNEL_STATS_SQL = f"""
              {_dup_frac_sql(_2GRAMS_SQL)} AS dup_2gram_frac,
              {ts.repl_count_sql("text")} AS repl_n,
              {ts.mojibake_count_sql("text")} AS mojibake_n,
-             {ts.ctrl_frac_sql("text")} AS ctrl_frac
+             {ts.ctrl_frac_sql("text")} AS ctrl_frac,
+             {ts.bullet_line_frac_sql("text")} AS bullet_line_frac,
+             {ts.ellipsis_line_frac_sql("text")} AS ellipsis_line_frac,
+             {ts.alpha_word_frac_sql("text")} AS alpha_word_frac
       FROM documents
 """
 
@@ -684,8 +731,8 @@ def drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate inputs' shared tokenize/regex trees; the projection makes
     single evaluation structural instead of optimizer-dependent."""
     d = read_table(spark, sf_dir, "documents")
-    text = F.col("text")
-    c = ts.rule_columns(text)
+    r = _staged_rule_cols(d)
+    c = {k: F.col(k) for k in r.columns if k != "doc_id"}
     th = ts.GopherThresholds()
     viol = {
         "n_words": (c["n_words"] < th.min_words)
@@ -700,9 +747,16 @@ def drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_line_frac": c["dup_line_frac"] > th.max_dup_line_frac,
         "dup_para_frac": c["dup_para_frac"] > th.max_dup_para_frac,
         "dup_2gram_frac": c["dup_2gram_frac"] > th.max_dup_2gram_frac,
+        "repl_n": c["repl_n"] > th.max_repl_chars,
+        "mojibake_n": c["mojibake_n"] > th.max_mojibake,
+        "ctrl_frac": c["ctrl_frac"] > th.max_ctrl_frac,
+        "bullet_line_frac": c["bullet_line_frac"] > th.max_bullet_line_frac,
+        "ellipsis_line_frac": c["ellipsis_line_frac"]
+        > th.max_ellipsis_line_frac,
+        "alpha_word_frac": c["alpha_word_frac"] < th.min_alpha_word_frac,
     }
     order = [n for n, _ in _FUNNEL_RULES]
-    flags = d.select(
+    flags = r.select(
         *[viol[n].alias(f"v{i}") for i, n in enumerate(order)]
     ).select(
         "*",

@@ -22,15 +22,20 @@ from isimip_qa_spark.functions.langid import LANG_ORDER, LANG_STOPWORDS
 from isimip_qa_spark.functions.perplexity import MODEL, OOV_LOGPROB
 from isimip_qa_spark.functions.scrub import ALL_PATTERNS
 from isimip_qa_spark.functions.textstats import (
+    BULLET_LINE_RE,
     CTRL_CLASS,
+    ELLIPSIS_SUFFIXES,
     MOJIBAKE_SEQS,
     REPL_CHAR,
+    WORDLIKE_RE,
 )
 from isimip_qa_spark.plans.config import QAConfig
 
 _SYMBOL_RE = re.compile(r"[!-/:-@\[-`{-~]")
 _ELLIPSIS_RE = re.compile(r"\.\.\.")
 _CTRL_RE = re.compile(CTRL_CLASS)
+_BULLET_RE = re.compile(BULLET_LINE_RE)
+_WORDLIKE_RE = re.compile(WORDLIKE_RE)
 
 
 def qa_frame(pages: pd.DataFrame, cfg: QAConfig | None = None) -> pd.DataFrame:
@@ -88,6 +93,27 @@ def qa_frame(pages: pd.DataFrame, cfg: QAConfig | None = None) -> pd.DataFrame:
         [len(_CTRL_RE.findall(t)) / max(len(t), 1) for t in texts]
     )
 
+    # Gopher format rules (independent formulation: per-line Python loops
+    # over str.split lines / the space-split token lists)
+    def _line_fracs(t: str) -> tuple[float, float]:
+        lines = t.split("\n")
+        nl = len(lines)
+        nb = sum(1 for ln in lines if _BULLET_RE.match(ln))
+        ne = sum(
+            1 for ln in lines if any(ln.endswith(s) for s in ELLIPSIS_SUFFIXES)
+        )
+        return nb / nl, ne / nl
+
+    fr = [_line_fracs(t) for t in texts]
+    out["bullet_line_frac"] = np.array([a for a, _ in fr])
+    out["ellipsis_line_frac"] = np.array([b for _, b in fr])
+    out["alpha_word_frac"] = np.array(
+        [
+            sum(1 for x in tk if _WORDLIKE_RE.search(x)) / len(tk)
+            for tk in tok_lists
+        ]
+    )
+
     # language-ID: stop-word occurrence argmax, LANG_ORDER tie-break
     lang_sets = {lg: set(ws) for lg, ws in LANG_STOPWORDS.items()}
     preds = []
@@ -129,6 +155,9 @@ def qa_frame(pages: pd.DataFrame, cfg: QAConfig | None = None) -> pd.DataFrame:
         & (out["repl_n"] <= cfg.max_repl_chars)
         & (out["mojibake_n"] <= cfg.max_mojibake)
         & (out["ctrl_frac"] <= cfg.max_ctrl_frac)
+        & (out["bullet_line_frac"] <= cfg.max_bullet_line_frac)
+        & (out["ellipsis_line_frac"] <= cfg.max_ellipsis_line_frac)
+        & (out["alpha_word_frac"] >= cfg.min_alpha_word_frac)
         & (out["ppl"] <= cfg.max_ppl)
         & (out["lang_pred"].isin(list(cfg.allowed_langs)))
     )

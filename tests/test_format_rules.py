@@ -1,0 +1,133 @@
+"""Gopher §A1.1 document-format rules: bullet-line fraction,
+ellipsis-line fraction, alphabetic-word fraction — binding-threshold
+proofs (planted violations trip the DEFAULT gate), CJK safety of the
+negated-ASCII wordlike class, and pure-Python reference parity.
+
+Inertness on the synthetic corpora is measured, not assumed: the planted
+76.0% keep-rate contract in tests/test_qa_pipeline.py runs against the
+same gate and would fail if any kept doc flipped.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from isimip_qa_spark.functions import textstats as ts
+
+
+def _clean_text(n: int = 60) -> str:
+    words = ["the" if i % 4 == 0 else f"word{i}" for i in range(n)]
+    return " ".join(words) + "."
+
+
+def _vals(spark, rows, col):
+    return {
+        r["k"]: r["v"]
+        for r in spark.createDataFrame(rows, "k string, text string")
+        .select("k", col.alias("v"))
+        .collect()
+    }
+
+
+def test_fraction_values_match_python_reference(spark):
+    clean = _clean_text()
+    bullet_doc = "\n".join(f"- item {i} of the list" for i in range(10))
+    ell_doc = "\n".join(
+        f"teaser {i} continues..." if i % 2 == 0 else f"line {i} ends."
+        for i in range(10)
+    )
+    num_doc = " ".join(str(i) for i in range(40)) + " one two three"
+    rows = [
+        ("clean", clean),
+        ("bullet", bullet_doc),
+        ("ell", ell_doc),
+        ("num", num_doc),
+        ("empty", ""),
+        ("cjk", " ".join("汉字文本" for _ in range(60))),
+    ]
+
+    bullet_re = re.compile(ts.BULLET_LINE_RE)
+    wordlike_re = re.compile(ts.WORDLIKE_RE)
+
+    def ref(t):
+        lines = t.split("\n")
+        toks = t.split(" ")
+        return (
+            sum(1 for ln in lines if bullet_re.match(ln)) / len(lines),
+            sum(
+                1
+                for ln in lines
+                if any(ln.endswith(s) for s in ts.ELLIPSIS_SUFFIXES)
+            )
+            / len(lines),
+            sum(1 for x in toks if wordlike_re.search(x)) / len(toks),
+        )
+
+    got_b = _vals(spark, rows, ts.bullet_line_frac_expr(F.col("text")))
+    got_e = _vals(spark, rows, ts.ellipsis_line_frac_expr(F.col("text")))
+    got_a = _vals(spark, rows, ts.alpha_word_frac_expr(F.col("text")))
+    for k, t in rows:
+        rb, re_, ra = ref(t)
+        assert got_b[k] == rb, (k, got_b[k], rb)
+        assert got_e[k] == re_, (k, got_e[k], re_)
+        assert got_a[k] == ra, (k, got_a[k], ra)
+
+
+def test_keep_gate_trips_on_planted_format_violations(spark):
+    """keep_expr with DEFAULT thresholds drops one planted violation per
+    rule while the clean doc passes — the gate is live, not decorative."""
+    clean = _clean_text()
+    # >90% bullet lines, each line individually wordy enough that no other
+    # rule trips first is NOT required — keep_expr is all-of, any trip drops
+    bullet_doc = "\n".join(
+        f"- {_clean_text(12)[:-1]}" for _ in range(12)
+    )
+    ell_doc = "\n".join(
+        f"{_clean_text(12)[:-1]}..." for _ in range(12)
+    )
+    # 50 wordlike + 51 numeric tokens → alpha_word_frac ≈ 0.495 < 0.8,
+    # while n_words stays in range and symbols/stopwords stay sane
+    num_doc = _clean_text(50)[:-1] + " " + " ".join(
+        str(i) for i in range(51)
+    )
+    rows = [
+        ("clean", clean),
+        ("bullet", bullet_doc),
+        ("ell", ell_doc),
+        ("num", num_doc),
+    ]
+    got = _vals(spark, rows, ts.keep_expr(F.col("text")))
+    assert got == {
+        "clean": True,
+        "bullet": False,
+        "ell": False,
+        "num": False,
+    }
+    # and the specific rule is the one that bit (threshold comparison
+    # against the planted fractions)
+    th = ts.GopherThresholds()
+    b = _vals(spark, rows, ts.bullet_line_frac_expr(F.col("text")))
+    e = _vals(spark, rows, ts.ellipsis_line_frac_expr(F.col("text")))
+    a = _vals(spark, rows, ts.alpha_word_frac_expr(F.col("text")))
+    assert b["bullet"] > th.max_bullet_line_frac
+    assert e["ell"] > th.max_ellipsis_line_frac
+    assert a["num"] < th.min_alpha_word_frac
+
+
+def test_cjk_text_is_wordlike(spark):
+    """The negated-ASCII wordlike class keeps CJK tokens alphabetic (the
+    reason the rule is not an [A-Za-z] test): a pure-CJK doc scores
+    alpha_word_frac == 1.0 and trips neither format rule."""
+    rows = [("cjk", " ".join("汉字文本" for _ in range(60)))]
+    assert _vals(spark, rows, ts.alpha_word_frac_expr(F.col("text")))[
+        "cjk"
+    ] == 1.0
+    assert _vals(spark, rows, ts.bullet_line_frac_expr(F.col("text")))[
+        "cjk"
+    ] == 0.0
+    assert _vals(spark, rows, ts.ellipsis_line_frac_expr(F.col("text")))[
+        "cjk"
+    ] == 0.0

@@ -133,6 +133,7 @@ def test_fused_equals_unfused(spark, pages_sdf):
         "lang_pred", "avg_logprob", "ppl", "text_scrubbed", "keep", "scrubbed",
         "dup_line_frac", "dup_para_frac", "dup_2gram_frac",
         "repl_n", "mojibake_n", "ctrl_frac",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
     ]:
         assert fused[col].tolist() == plain[col].tolist(), col
 

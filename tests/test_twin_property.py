@@ -18,9 +18,15 @@ from isimip_qa_spark.functions.normalize import (
 )
 from isimip_qa_spark.functions.textstats import (
     _dup_frac,
+    alpha_word_frac_expr,
+    alpha_word_frac_sql,
+    bullet_line_frac_expr,
+    bullet_line_frac_sql,
     dup_2gram_frac_expr,
     dup_line_frac_expr,
     dup_para_frac_expr,
+    ellipsis_line_frac_expr,
+    ellipsis_line_frac_sql,
     tokens_expr,
 )
 from isimip_qa_spark.functions.urlops import (
@@ -128,6 +134,36 @@ def test_dup_fraction_parity(spark, texts):
             _dup_frac_sql("string_split(text, chr(10) || chr(10))"),
         ),
         (dup_2gram_frac_expr(F.col("text")), _dup_frac_sql(_2GRAMS_SQL)),
+    ]:
+        s = _spark_vals(spark, texts, expr)
+        d = _duck(texts, sql)
+        assert s == d
+
+
+# format-rule twins: draw bullet glyphs, ellipses, digits, CJK and the
+# tab/CR bytes the portable-pattern notes call out, so the anchored /
+# suffix / negated-class semantics are actually reached
+_fmt_text = st.text(
+    alphabet=st.one_of(
+        st.characters(codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFF),
+        st.sampled_from(
+            [" ", "\n", "\t", "\r", "-", "*", "•", ".", "…", "3", "汉"]
+        ),
+    ),
+    max_size=60,
+)
+
+
+@given(texts=st.lists(_fmt_text, min_size=1, max_size=10))
+@_SETTINGS
+def test_format_rule_parity(spark, texts):
+    for expr, sql in [
+        (bullet_line_frac_expr(F.col("text")), bullet_line_frac_sql("text")),
+        (
+            ellipsis_line_frac_expr(F.col("text")),
+            ellipsis_line_frac_sql("text"),
+        ),
+        (alpha_word_frac_expr(F.col("text")), alpha_word_frac_sql("text")),
     ]:
         s = _spark_vals(spark, texts, expr)
         d = _duck(texts, sql)
