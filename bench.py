@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "pack_assemble",
     "drop_attribution",
+    "source_rule_funnel",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_multiprobe",
     "ann_cosine_topk",

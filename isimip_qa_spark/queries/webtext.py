@@ -100,15 +100,17 @@ _ROUND6_RULES = (
 )
 
 
-def _staged_rule_cols(d: DataFrame) -> DataFrame:
+def _staged_rule_cols(
+    d: DataFrame, keys: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
     """documents → one projection staging the three split arrays, then one
     projection evaluating every rule statistic exactly once (the
     c4_line_clean staged pattern: HOFs get no CSE, and CollapseProject
-    keeps multi-referenced non-cheap exprs staged). Output: doc_id + one
+    keeps multi-referenced non-cheap exprs staged). Output: `keys` + one
     raw column per rule."""
     text = F.col("text")
     staged = d.select(
-        "doc_id",
+        *keys,
         "text",
         ts.tokens_expr(text).alias("_toks"),
         ts.tokens_expr(F.lower(text)).alias("_ltoks"),
@@ -121,7 +123,7 @@ def _staged_rule_cols(d: DataFrame) -> DataFrame:
         lines=F.col("_lines"),
     )
     return staged.select(
-        "doc_id", *[v.alias(k) for k, v in cols.items()]
+        *keys, *[v.alias(k) for k, v in cols.items()]
     )
 
 
@@ -661,7 +663,7 @@ _FUNNEL_RULES = [
 ]
 
 _FUNNEL_STATS_SQL = f"""
-      SELECT doc_id,
+      SELECT doc_id, source,
              len({_TOKENS_SQL})::BIGINT AS n_words,
              length(replace(text, ' ', ''))::DOUBLE / len({_TOKENS_SQL}) AS mean_word_len,
              len(regexp_extract_all(text, '{ts.SYMBOL_CLASS}'))::DOUBLE / len({_TOKENS_SQL}) AS symbol_ratio,
@@ -713,28 +715,15 @@ _FUNNEL_SQL = (
 )
 
 
-@register("drop_attribution", oracle=_FUNNEL_SQL)
-def drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-rule violation counts (marginal) and waterfall attribution (docs
-    whose FIRST failing rule, in the fixed funnel order, is this one), plus
-    a '(kept)' row. The report that tells a pipeline owner which threshold
-    is doing the dropping before they tune anything.
-
-    Scale shape: one scan → a PROJECTION evaluating each rule expression
-    exactly once per row into boolean flag columns (+ the first-fail index)
-    → one hash-agg over the cheap flags, collapsing to a single row
-    (partial aggregation map-side) → stack() into report rows. The corpus
-    never shuffles; the only exchange carries one row. Aggregating the
-    rule expressions directly measures ~15% slower steady-state
-    (interleaved min-of-3 on sf0.1: 2.21s vs 1.89s) — codegen
-    subexpression elimination dedupes most but not all of the 19
-    aggregate inputs' shared tokenize/regex trees; the projection makes
-    single evaluation structural instead of optimizer-dependent."""
-    d = read_table(spark, sf_dir, "documents")
-    r = _staged_rule_cols(d)
-    c = {k: F.col(k) for k in r.columns if k != "doc_id"}
+def _violations(r: DataFrame) -> dict[str, Column]:
+    """Per-rule violation flag exprs over a `_staged_rule_cols` frame —
+    the negation of each keep_from conjunct, shared by the corpus funnel
+    (drop_attribution) and the per-source funnel (source_rule_funnel).
+    Rule names match _FUNNEL_RULES; thresholds are the GopherThresholds
+    defaults the SQL twins spell literally."""
+    c = {k: F.col(k) for k in r.columns}
     th = ts.GopherThresholds()
-    viol = {
+    return {
         "n_words": (c["n_words"] < th.min_words)
         | (c["n_words"] > th.max_words),
         "mean_word_len": (c["mean_word_len"] < th.min_mean_word_len)
@@ -755,6 +744,28 @@ def drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         > th.max_ellipsis_line_frac,
         "alpha_word_frac": c["alpha_word_frac"] < th.min_alpha_word_frac,
     }
+
+
+@register("drop_attribution", oracle=_FUNNEL_SQL)
+def drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule violation counts (marginal) and waterfall attribution (docs
+    whose FIRST failing rule, in the fixed funnel order, is this one), plus
+    a '(kept)' row. The report that tells a pipeline owner which threshold
+    is doing the dropping before they tune anything.
+
+    Scale shape: one scan → a PROJECTION evaluating each rule expression
+    exactly once per row into boolean flag columns (+ the first-fail index)
+    → one hash-agg over the cheap flags, collapsing to a single row
+    (partial aggregation map-side) → stack() into report rows. The corpus
+    never shuffles; the only exchange carries one row. Aggregating the
+    rule expressions directly measures ~15% slower steady-state
+    (interleaved min-of-3 on sf0.1: 2.21s vs 1.89s) — codegen
+    subexpression elimination dedupes most but not all of the 19
+    aggregate inputs' shared tokenize/regex trees; the projection makes
+    single evaluation structural instead of optimizer-dependent."""
+    d = read_table(spark, sf_dir, "documents")
+    r = _staged_rule_cols(d)
+    viol = _violations(r)
     order = [n for n, _ in _FUNNEL_RULES]
     flags = r.select(
         *[viol[n].alias(f"v{i}") for i, n in enumerate(order)]
@@ -778,6 +789,75 @@ def drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(order) + 1}, {stack_args}, '(kept)', 0L, kept)"
             " as (rule, n_viol, n_attributed)"
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# source_rule_funnel — the per-source slice of the funnel: which rule
+# trips WHERE. At crawl scale this is the report that localises a
+# boilerplate farm / mis-decoded host to the rule it trips, before
+# anyone re-tunes a global threshold (the per-source complement of
+# host_reputation's keep-rate).
+# ---------------------------------------------------------------------------
+
+_SOURCE_FUNNEL_SQL = (
+    f"WITH s AS ({_FUNNEL_STATS_SQL}),\n    flags AS (\n      SELECT source, "
+    + ",\n             ".join(
+        f"({pred}) AS v{i}" for i, (_, pred) in enumerate(_FUNNEL_RULES)
+    )
+    + " FROM s\n    ),\n    agg AS (\n      SELECT source,"
+    " count(*)::BIGINT AS n_docs, "
+    + ", ".join(
+        f"sum(v{i}::INT)::BIGINT AS nv{i}"
+        for i in range(len(_FUNNEL_RULES))
+    )
+    + " FROM flags GROUP BY source\n    )\n    "
+    "SELECT source, rule, n_docs, n_viol,"
+    " round(n_viol / n_docs, 6) AS viol_rate FROM agg, (VALUES "
+    + ", ".join(f"('{n}')" for n, _ in _FUNNEL_RULES)
+    + ") AS r(rule), LATERAL (SELECT CASE rule "
+    + " ".join(
+        f"WHEN '{n}' THEN nv{i}" for i, (n, _) in enumerate(_FUNNEL_RULES)
+    )
+    + " END AS n_viol) AS x"
+)
+
+
+@register("source_rule_funnel", oracle=_SOURCE_FUNNEL_SQL)
+def source_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, rule, n_docs, n_viol, viol_rate): marginal rule-violation
+    counts per source over all 15 gate rules.
+
+    Scale shape: one scan → the shared staged-arrays rule projection →
+    cheap boolean flags → ONE hash agg keyed on source (map-side partial
+    combine; result rows = |sources| × 15, tiny) → stack() into report
+    rows. The corpus shuffles only as 17 longs per source."""
+    d = read_table(spark, sf_dir, "documents")
+    r = _staged_rule_cols(d, keys=("source",))
+    viol = _violations(r)
+    order = [n for n, _ in _FUNNEL_RULES]
+    flags = r.select(
+        "source", *[viol[n].alias(f"v{i}") for i, n in enumerate(order)]
+    )
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.col(f"v{i}").cast("long")).alias(f"nv{i}")
+            for i in range(len(order))
+        ],
+    )
+    stack_args = ", ".join(f"'{n}', nv{i}" for i, n in enumerate(order))
+    long = agg.select(
+        "source",
+        "n_docs",
+        F.expr(f"stack({len(order)}, {stack_args}) as (rule, n_viol)"),
+    )
+    return long.select(
+        "source",
+        "rule",
+        "n_docs",
+        "n_viol",
+        F.round(F.col("n_viol") / F.col("n_docs"), 6).alias("viol_rate"),
     )
 
 

@@ -117,6 +117,30 @@ def test_keep_gate_trips_on_planted_format_violations(spark):
     assert a["num"] < th.min_alpha_word_frac
 
 
+def test_source_rule_funnel_shape_and_plan(spark):
+    """source_rule_funnel: every (source, rule) pair present, counts
+    consistent with per-doc flags, and the physical plan carries exactly
+    ONE exchange (the source hash-agg) — the corpus never shuffles as
+    text, only as 17 longs per source."""
+    import os
+
+    from isimip_qa_spark.queries.webtext import (
+        _FUNNEL_RULES,
+        source_rule_funnel,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    df = source_rule_funnel(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    rows = df.collect()
+    sources = {r["source"] for r in rows}
+    assert len(rows) == len(sources) * len(_FUNNEL_RULES)
+    for r in rows:
+        assert 0 <= r["n_viol"] <= r["n_docs"]
+        assert r["viol_rate"] == round(r["n_viol"] / r["n_docs"], 6)
+
+
 def test_cjk_text_is_wordlike(spark):
     """The negated-ASCII wordlike class keeps CJK tokens alphabetic (the
     reason the rule is not an [A-Za-z] test): a pure-CJK doc scores
