@@ -254,13 +254,23 @@ def _fused_series(texts: pd.Series) -> pd.DataFrame:
     # separator do any work (fast path: single-part docs are exactly 0, the
     # common case for space-normalised crawl text); multi-part docs get one
     # vectorized split + factorize + composite-distinct pass.
-    def _dup_part_frac(sep: str) -> np.ndarray:
-        has = filled.str.contains(sep, regex=False).to_numpy()
+    def _dup_part_frac(
+        sep: str, sep_counts: np.ndarray | None = None
+    ) -> np.ndarray:
+        has = (
+            (sep_counts > 0)
+            if sep_counts is not None
+            else filled.str.contains(sep, regex=False).to_numpy()
+        )
         if not has.any():
             return np.zeros(n, dtype=np.float64)
         # regex count of the literal separator (newlines need no escaping);
         # non-overlapping matches + 1 == Java split(-1) part count
-        total = filled.str.count(sep).to_numpy(dtype=np.int64) + 1
+        total = (
+            sep_counts
+            if sep_counts is not None
+            else filled.str.count(sep).to_numpy(dtype=np.int64)
+        ) + 1
         parts = filled[has].str.split(sep, regex=False).explode()
         pidx = parts.index.to_numpy(dtype=np.int64)
         pcodes, puniq = pd.factorize(parts)
@@ -271,44 +281,59 @@ def _fused_series(texts: pd.Series) -> pd.DataFrame:
         distinct = np.where(has, dcounts, 1)
         return (total - distinct) / total.astype(np.float64)
 
-    dup_line = _dup_part_frac("\n")
+    nl_counts = filled.str.count("\n").to_numpy(dtype=np.int64)
+    dup_line = _dup_part_frac("\n", nl_counts)
     dup_para = _dup_part_frac("\n\n")
 
     # --- encoding-quality signals (textstats.py semantics: exact literal
     # counts + ctrl fraction over greatest(len, 1); pandas str.count over
     # the escaped literal == the expression side's non-overlapping
     # length-arithmetic count, and the int64/int64 -> float64 division is
-    # the same IEEE op both sides) ---
-    n_chars = filled.str.len().to_numpy(dtype=np.int64)
+    # the same IEEE op both sides; `chars` above is already str.len) ---
     repl_n = filled.str.count(re.escape(REPL_CHAR)).to_numpy(dtype=np.int64)
     moji_n = sum(
         filled.str.count(re.escape(seq)).to_numpy(dtype=np.int64)
         for seq, _ in MOJIBAKE_SEQS
     )
     ctrl_n = filled.str.count(CTRL_CLASS).to_numpy(dtype=np.int64)
-    ctrl_frac = ctrl_n.astype(np.float64) / np.maximum(n_chars, 1).astype(
+    ctrl_frac = ctrl_n.astype(np.float64) / np.maximum(chars, 1).astype(
         np.float64
     )
 
     # --- Gopher format rules (textstats.py expression semantics) ---
-    # Line rules: one split+explode serves both; per-doc line count is
-    # '\n' count + 1 (Java split(-1) parity, as in _dup_part_frac). The
-    # bullet test is re.match == the expression side's ^-anchored rlike;
-    # the ellipsis test is str.endswith == Column.endswith.
-    lines_total = (
-        filled.str.count("\n").to_numpy(dtype=np.int64) + 1
-    ).astype(np.float64)
-    lparts = filled.str.split("\n", regex=False).explode()
-    lidx = lparts.index.to_numpy(dtype=np.int64)
-    bull = lparts.str.match(BULLET_LINE_RE).to_numpy(dtype=bool)
-    bullet_frac = np.bincount(lidx[bull], minlength=n) / lines_total
-    ends = lparts.str.endswith(ELLIPSIS_SUFFIXES[0])
-    for _suf in ELLIPSIS_SUFFIXES[1:]:
-        ends = ends | lparts.str.endswith(_suf)
-    ell_line_frac = (
-        np.bincount(lidx[ends.to_numpy(dtype=bool)], minlength=n)
-        / lines_total
-    )
+    # Line rules: per-doc line count is '\n' count + 1 (Java split(-1)
+    # parity, as in _dup_part_frac), and the same fast path applies —
+    # single-line docs (the common case for space-normalised crawl text)
+    # get direct vectorized tests, only multi-line docs pay the explode.
+    # The bullet test is re.match == the expression side's ^-anchored
+    # rlike; the ellipsis test is str.endswith == Column.endswith.
+    lines_total = (nl_counts + 1).astype(np.float64)
+    has_nl = nl_counts > 0
+
+    def _line_ends(s: pd.Series) -> pd.Series:
+        out = s.str.endswith(ELLIPSIS_SUFFIXES[0])
+        for _suf in ELLIPSIS_SUFFIXES[1:]:
+            out = out | s.str.endswith(_suf)
+        return out
+
+    bullet_hits = np.zeros(n, dtype=np.int64)
+    ell_hits = np.zeros(n, dtype=np.int64)
+    single = ~has_nl
+    if single.any():
+        sdocs = filled[single]
+        bullet_hits[single] = sdocs.str.match(BULLET_LINE_RE).to_numpy(
+            dtype=np.int64
+        )
+        ell_hits[single] = _line_ends(sdocs).to_numpy(dtype=np.int64)
+    if has_nl.any():
+        lparts = filled[has_nl].str.split("\n", regex=False).explode()
+        lidx = lparts.index.to_numpy(dtype=np.int64)
+        bull = lparts.str.match(BULLET_LINE_RE).to_numpy(dtype=bool)
+        bullet_hits += np.bincount(lidx[bull], minlength=n)
+        ends = _line_ends(lparts).to_numpy(dtype=bool)
+        ell_hits += np.bincount(lidx[ends], minlength=n)
+    bullet_frac = bullet_hits / lines_total
+    ell_line_frac = ell_hits / lines_total
     # Alphabetic-word fraction: the wordlike regex probes only UNIQUE
     # tokens (str.contains == rlike, both unanchored search), then a
     # gather over the code array + bincount gives per-doc hits.

@@ -161,10 +161,7 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              {_dup_frac_sql("string_split(text, chr(10))")} AS dup_line_frac,
              {_dup_frac_sql("string_split(text, chr(10) || chr(10))")} AS dup_para_frac,
-             {_dup_frac_sql(_2GRAMS_SQL)} AS dup_2gram_frac,
-             {ts.repl_count_sql("text")} AS repl_n,
-             {ts.mojibake_count_sql("text")} AS mojibake_n,
-             {ts.ctrl_frac_sql("text")} AS ctrl_frac
+             {_dup_frac_sql(_2GRAMS_SQL)} AS dup_2gram_frac
       FROM documents
     )
     SELECT doc_id,
@@ -831,7 +828,7 @@ def source_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan → the shared staged-arrays rule projection →
     cheap boolean flags → ONE hash agg keyed on source (map-side partial
     combine; result rows = |sources| × 15, tiny) → stack() into report
-    rows. The corpus shuffles only as 17 longs per source."""
+    rows. The corpus shuffles only as 16 longs per source."""
     d = read_table(spark, sf_dir, "documents")
     r = _staged_rule_cols(d, keys=("source",))
     viol = _violations(r)

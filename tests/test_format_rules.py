@@ -121,7 +121,7 @@ def test_source_rule_funnel_shape_and_plan(spark):
     """source_rule_funnel: every (source, rule) pair present, counts
     consistent with per-doc flags, and the physical plan carries exactly
     ONE exchange (the source hash-agg) — the corpus never shuffles as
-    text, only as 17 longs per source."""
+    text, only as 16 longs per source."""
     import os
 
     from isimip_qa_spark.queries.webtext import (
@@ -138,7 +138,10 @@ def test_source_rule_funnel_shape_and_plan(spark):
     assert len(rows) == len(sources) * len(_FUNNEL_RULES)
     for r in rows:
         assert 0 <= r["n_viol"] <= r["n_docs"]
-        assert r["viol_rate"] == round(r["n_viol"] / r["n_docs"], 6)
+        # tolerance, not equality: F.round is HALF_UP, Python round is
+        # HALF_EVEN (the divergence test_sink_rounding pins), so an exact
+        # twin would fail spuriously on an x.xxxxx5 ratio
+        assert abs(r["viol_rate"] - r["n_viol"] / r["n_docs"]) <= 5e-7
 
 
 def test_cjk_text_is_wordlike(spark):
