@@ -864,9 +864,11 @@ def source_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the sweep grids are pipeline config, compiled into the agg like the rule
 # thresholds themselves (drop_attribution pattern): corpus never joins a dim
-SWEEP_GRID: list[tuple[str, float]] = [
-    ("stopword_ratio", t) for t in (0.0, 0.005, 0.01, 0.02, 0.05, 0.1)
-] + [("min_words", float(t)) for t in (10, 25, 50, 75, 100, 150)]
+SWEEP_GRID: list[tuple[str, float]] = (
+    [("stopword_ratio", t) for t in (0.0, 0.005, 0.01, 0.02, 0.05, 0.1)]
+    + [("min_words", float(t)) for t in (10, 25, 50, 75, 100, 150)]
+    + [("min_alpha_word_frac", t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)]
+)
 
 
 def _sweep_sql() -> str:
@@ -876,9 +878,11 @@ def _sweep_sql() -> str:
         f" / len({_TOKENS_SQL})"
     )
     nw = f"len({_TOKENS_SQL})::BIGINT"
+    af = ts.alpha_word_frac_sql("text")
     conds = {
         "stopword_ratio": lambda t: f"sw >= {t!r}",
         "min_words": lambda t: f"nw >= {t!r}",
+        "min_alpha_word_frac": lambda t: f"af >= {t!r}",
     }
     rows = " UNION ALL ".join(
         f"SELECT '{rule}' AS rule, {t!r}::DOUBLE AS threshold, n_docs, "
@@ -890,7 +894,7 @@ def _sweep_sql() -> str:
         for i, (rule, t) in enumerate(SWEEP_GRID)
     )
     return f"""
-    WITH s AS (SELECT {sw} AS sw, {nw} AS nw FROM documents),
+    WITH s AS (SELECT {sw} AS sw, {nw} AS nw, {af} AS af FROM documents),
     r AS (SELECT count(*)::BIGINT AS n_docs, {passes} FROM s)
     SELECT * FROM ({rows}) ORDER BY rule, threshold
 """
@@ -913,10 +917,12 @@ def rule_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = d.select(
         ts.stopword_ratio_expr(text, ts.EN_STOPWORDS).alias("sw"),
         ts.n_words_expr(text).alias("nw"),
+        ts.alpha_word_frac_expr(text).alias("af"),
     )
     conds = {
         "stopword_ratio": lambda t: F.col("sw") >= t,
         "min_words": lambda t: F.col("nw") >= t,
+        "min_alpha_word_frac": lambda t: F.col("af") >= t,
     }
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     for i, (rule, t) in enumerate(SWEEP_GRID):
