@@ -144,6 +144,40 @@ def test_source_rule_funnel_shape_and_plan(spark):
         assert abs(r["viol_rate"] - r["n_viol"] / r["n_docs"]) <= 5e-7
 
 
+def test_staged_rule_columns_equal_unstaged(spark):
+    """rule_columns built over pre-staged split arrays produces the same
+    values as the text-only form — the contract that lets gopher_rules /
+    drop_attribution / source_rule_funnel share `_staged_rule_cols`
+    while keep_expr stays single-expression. Exercised over the fixture
+    corpus plus edge docs (empty, CJK, multi-line, corrupted)."""
+    import os
+
+    from isimip_qa_spark.catalog import read_table
+    from isimip_qa_spark.queries.webtext import _staged_rule_cols
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    d = read_table(spark, sf, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [
+            (9000001, ""),
+            (9000002, " ".join("汉字" for _ in range(10))),
+            (9000003, "- a\n- b\n- b\nplain..."),
+            (9000004, "cafÃ© \x07 � 1 2 3"),
+        ],
+        "doc_id long, text string",
+    )
+    d = d.unionByName(extra)
+    text = F.col("text")
+    unstaged_cols = ts.rule_columns(text)
+    unstaged = d.select(
+        "doc_id", *[v.alias(k) for k, v in unstaged_cols.items()]
+    )
+    staged = _staged_rule_cols(d)
+    a = {r["doc_id"]: r.asDict() for r in unstaged.collect()}
+    b = {r["doc_id"]: r.asDict() for r in staged.collect()}
+    assert a == b
+
+
 def test_cjk_text_is_wordlike(spark):
     """The negated-ASCII wordlike class keeps CJK tokens alphabetic (the
     reason the rule is not an [A-Za-z] test): a pure-CJK doc scores
