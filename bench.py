@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "pack_assemble",
     "drop_attribution",
     "source_rule_funnel",
+    "lang_profile_rules",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_multiprobe",
     "ann_cosine_topk",

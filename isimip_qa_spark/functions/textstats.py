@@ -13,6 +13,7 @@ space-normalised); `tokens_expr` is the single place to change that.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 
 from pyspark.sql import Column
@@ -577,30 +578,43 @@ def rule_columns(
 
 
 def keep_from(
-    c: dict[str, Column], th: GopherThresholds | None = None
+    c: dict[str, Column],
+    th: GopherThresholds | None = None,
+    overrides: dict[str, Column] | None = None,
 ) -> Column:
     """The keep/drop decision over already-built rule columns (the staged
     form: pass `rule_columns(...)` output, or F.col refs to a projection
-    of it)."""
+    of it). `overrides` optionally replaces named thresholds with Column
+    expressions (the per-language-profile form: a broadcast-joined
+    profile column stands in for the global literal); unnamed thresholds
+    stay the `th` literals, so the conjunct list is single-sourced."""
     th = th or GopherThresholds()
+    t: dict[str, object] = {
+        f.name: getattr(th, f.name) for f in dataclasses.fields(th)
+    }
+    if overrides:
+        unknown = set(overrides) - set(t)
+        if unknown:
+            raise KeyError(f"unknown threshold overrides: {sorted(unknown)}")
+        t.update(overrides)
     return (
-        (c["n_words"] >= th.min_words)
-        & (c["n_words"] <= th.max_words)
-        & (c["mean_word_len"] >= th.min_mean_word_len)
-        & (c["mean_word_len"] <= th.max_mean_word_len)
-        & (c["symbol_ratio"] <= th.max_symbol_ratio)
-        & (c["distinct_word_ratio"] >= th.min_distinct_word_ratio)
-        & (c["stopword_ratio"] >= th.min_stopword_ratio)
-        & (c["ellipsis_count"] <= th.max_ellipsis)
-        & (c["dup_line_frac"] <= th.max_dup_line_frac)
-        & (c["dup_para_frac"] <= th.max_dup_para_frac)
-        & (c["dup_2gram_frac"] <= th.max_dup_2gram_frac)
-        & (c["repl_n"] <= th.max_repl_chars)
-        & (c["mojibake_n"] <= th.max_mojibake)
-        & (c["ctrl_frac"] <= th.max_ctrl_frac)
-        & (c["bullet_line_frac"] <= th.max_bullet_line_frac)
-        & (c["ellipsis_line_frac"] <= th.max_ellipsis_line_frac)
-        & (c["alpha_word_frac"] >= th.min_alpha_word_frac)
+        (c["n_words"] >= t["min_words"])
+        & (c["n_words"] <= t["max_words"])
+        & (c["mean_word_len"] >= t["min_mean_word_len"])
+        & (c["mean_word_len"] <= t["max_mean_word_len"])
+        & (c["symbol_ratio"] <= t["max_symbol_ratio"])
+        & (c["distinct_word_ratio"] >= t["min_distinct_word_ratio"])
+        & (c["stopword_ratio"] >= t["min_stopword_ratio"])
+        & (c["ellipsis_count"] <= t["max_ellipsis"])
+        & (c["dup_line_frac"] <= t["max_dup_line_frac"])
+        & (c["dup_para_frac"] <= t["max_dup_para_frac"])
+        & (c["dup_2gram_frac"] <= t["max_dup_2gram_frac"])
+        & (c["repl_n"] <= t["max_repl_chars"])
+        & (c["mojibake_n"] <= t["max_mojibake"])
+        & (c["ctrl_frac"] <= t["max_ctrl_frac"])
+        & (c["bullet_line_frac"] <= t["max_bullet_line_frac"])
+        & (c["ellipsis_line_frac"] <= t["max_ellipsis_line_frac"])
+        & (c["alpha_word_frac"] >= t["min_alpha_word_frac"])
     )
 
 

@@ -659,8 +659,11 @@ _FUNNEL_RULES = [
     ("alpha_word_frac", "alpha_word_frac < 0.8"),
 ]
 
-_FUNNEL_STATS_SQL = f"""
-      SELECT doc_id, source,
+def _rule_stats_sql(keys: str) -> str:
+    """The 15-rule statistics CTE body over `documents`, carrying `keys`
+    (shared by the funnel reports and the per-language profile gate)."""
+    return f"""
+      SELECT {keys},
              len({_TOKENS_SQL})::BIGINT AS n_words,
              length(replace(text, ' ', ''))::DOUBLE / len({_TOKENS_SQL}) AS mean_word_len,
              len(regexp_extract_all(text, '{ts.SYMBOL_CLASS}'))::DOUBLE / len({_TOKENS_SQL}) AS symbol_ratio,
@@ -679,6 +682,9 @@ _FUNNEL_STATS_SQL = f"""
              {ts.alpha_word_frac_sql("text")} AS alpha_word_frac
       FROM documents
 """
+
+
+_FUNNEL_STATS_SQL = _rule_stats_sql("doc_id, source")
 
 _FUNNEL_SQL = (
     f"WITH s AS ({_FUNNEL_STATS_SQL}),\n    flags AS (\n      SELECT "
@@ -855,6 +861,106 @@ def source_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_viol",
         F.round(F.col("n_viol") / F.col("n_docs"), 6).alias("viol_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language threshold profiles (CCNet practice: filtering thresholds
+# are language-dependent — stop-word coverage means little for languages
+# the stop-word list barely covers, and CJK needs different length/alpha
+# bounds). The profile is DATA, not code: a tiny dim table
+# broadcast-joined on a defaulted lang key, so production updates
+# profiles without a redeploy, and the corpus-side plan stays scan →
+# staged rules → BroadcastHashJoin → project (no corpus shuffle;
+# plan-asserted). The three profiled thresholds flow through keep_from's
+# overrides, so the 17-conjunct gate stays single-sourced.
+# ---------------------------------------------------------------------------
+
+LANG_PROFILES: list[tuple[str, int, float, float]] = [
+    # (lang, min_words, min_stopword_ratio, min_alpha_word_frac)
+    ("en", 50, 0.01, 0.8),
+    ("es", 40, 0.005, 0.8),
+    ("fr", 40, 0.005, 0.8),
+    ("de", 40, 0.005, 0.8),
+    ("zh", 30, 0.0, 0.5),
+    ("default", 50, 0.01, 0.8),
+]
+
+
+def _keep_pred_sql(
+    min_words: str = "50", min_sw: str = "0.01", min_alpha: str = "0.8"
+) -> str:
+    """The 17-conjunct keep predicate over rule-stat columns, with the
+    three language-profiled thresholds injectable (literal or a joined
+    profile column) — one template, so global and profile gates cannot
+    drift."""
+    return (
+        f"(n_words >= {min_words} AND n_words <= 100000"
+        " AND mean_word_len >= 2.0 AND mean_word_len <= 12.0"
+        " AND symbol_ratio <= 0.1 AND distinct_word_ratio >= 0.1"
+        f" AND stopword_ratio >= {min_sw} AND ellipsis_count <= 5"
+        " AND dup_line_frac <= 0.3 AND dup_para_frac <= 0.3"
+        " AND dup_2gram_frac <= 1.0 AND repl_n <= 0 AND mojibake_n <= 0"
+        " AND ctrl_frac <= 0.001 AND bullet_line_frac <= 0.9"
+        " AND ellipsis_line_frac <= 0.3"
+        f" AND alpha_word_frac >= {min_alpha})"
+    )
+
+
+_PROFILE_LANGS = [l for l, *_ in LANG_PROFILES if l != "default"]
+
+_LANG_PROFILE_SQL = (
+    f"WITH s AS ({_rule_stats_sql('doc_id, lang')}),\n"
+    "    prof(p_lang, p_min_words, p_min_sw, p_min_alpha) AS (VALUES "
+    + ", ".join(
+        f"('{l}', {w}, {sw!r}::DOUBLE, {af!r}::DOUBLE)"
+        for l, w, sw, af in LANG_PROFILES
+    )
+    + "),\n    j AS (SELECT s.*, p.p_min_words, p.p_min_sw, p.p_min_alpha"
+    " FROM s JOIN prof p ON p.p_lang = (CASE WHEN s.lang IN ("
+    + ", ".join(f"'{l}'" for l in _PROFILE_LANGS)
+    + ") THEN s.lang ELSE 'default' END))\n"
+    f"    SELECT doc_id, lang, {_keep_pred_sql()} AS keep_global,"
+    f" {_keep_pred_sql('p_min_words', 'p_min_sw', 'p_min_alpha')}"
+    " AS keep_profile FROM j"
+)
+
+
+@register("lang_profile_rules", oracle=_LANG_PROFILE_SQL)
+def lang_profile_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, keep_global, keep_profile): the full heuristic gate
+    evaluated twice — once with the global thresholds, once with the
+    document's language profile (broadcast dim, unknown langs fall back
+    to the 'default' row).
+
+    Scale shape: one scan → the shared staged-arrays rule projection →
+    BroadcastHashJoin against the 6-row profile dim on a defaulted lang
+    key → one projection computing both gates from the same rule
+    columns. The corpus never shuffles."""
+    d = read_table(spark, sf_dir, "documents")
+    r = _staged_rule_cols(d, keys=("doc_id", "lang"))
+    prof = spark.createDataFrame(
+        LANG_PROFILES,
+        "p_lang string, p_min_words long, p_min_sw double, p_min_alpha double",
+    )
+    key = F.when(
+        F.col("lang").isin(_PROFILE_LANGS), F.col("lang")
+    ).otherwise(F.lit("default"))
+    j = r.join(F.broadcast(prof), key == F.col("p_lang"), "inner")
+    c = {k: F.col(k) for k in r.columns if k not in ("doc_id", "lang")}
+    keep_p = ts.keep_from(
+        c,
+        overrides={
+            "min_words": F.col("p_min_words"),
+            "min_stopword_ratio": F.col("p_min_sw"),
+            "min_alpha_word_frac": F.col("p_min_alpha"),
+        },
+    )
+    return j.select(
+        "doc_id",
+        "lang",
+        ts.keep_from(c).alias("keep_global"),
+        keep_p.alias("keep_profile"),
     )
 
 

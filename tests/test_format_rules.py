@@ -178,6 +178,34 @@ def test_staged_rule_columns_equal_unstaged(spark):
     assert a == b
 
 
+def test_lang_profile_rules_plan_and_semantics(spark):
+    """The profile gate broadcast-joins the 6-row dim (no corpus
+    shuffle), en documents see the global thresholds exactly, and the
+    looser non-en profiles recover documents the global gate drops —
+    never the reverse (every profiled threshold is <= the global one on
+    this fixture's profile table)."""
+    import os
+
+    from isimip_qa_spark.queries.webtext import lang_profile_rules
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    df = lang_profile_rules(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    rows = df.collect()
+    assert rows
+    diffs = 0
+    for r in rows:
+        if r["lang"] == "en":
+            assert r["keep_global"] == r["keep_profile"], r
+        if r["keep_global"] != r["keep_profile"]:
+            # looser profile can only recover, never drop
+            assert r["keep_profile"] and not r["keep_global"], r
+            diffs += 1
+    assert diffs > 0  # the profile gate is live on the fixture
+
+
 def test_cjk_text_is_wordlike(spark):
     """The negated-ASCII wordlike class keeps CJK tokens alphabetic (the
     reason the rule is not an [A-Za-z] test): a pure-CJK doc scores
