@@ -57,6 +57,13 @@ class QAConfig:
     max_bullet_line_frac: float = 0.9
     max_ellipsis_line_frac: float = 0.3
     min_alpha_word_frac: float = 0.8
+    # Per-language threshold profiles (CCNet practice): rows of
+    # (lang, min_words, min_stopword_ratio, min_alpha_word_frac) keyed by
+    # the pipeline's own lang_pred; a 'default' row covers unlisted
+    # languages (absent that, the global thresholds above do). None (the
+    # default) disables profiling — every existing keep/F1 contract is
+    # computed with the global gate.
+    lang_profiles: tuple[tuple[str, int, float, float], ...] | None = None
     # model-based thresholds
     max_ppl: float = 1500.0
     allowed_langs: tuple[str, ...] = ("en", "es", "fr", "de", "zh")

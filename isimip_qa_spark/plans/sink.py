@@ -100,18 +100,42 @@ def _pa_schema():
     return pa.schema([(name, m[t]) for name, t in _OUT_COLS])
 
 
+def _profile_thresholds(s: pd.DataFrame, cfg):
+    """Per-row (min_words, min_stopword_ratio, min_alpha_word_frac) from
+    cfg.lang_profiles keyed on lang_pred — the pandas twin of
+    stages._profile_threshold's CASE chain (listed lang → profile row,
+    else the 'default' row, else the global threshold)."""
+    dflt = (cfg.min_words, cfg.min_stopword_ratio, cfg.min_alpha_word_frac)
+    for row in cfg.lang_profiles:
+        if row[0] == "default":
+            dflt = tuple(row[1:])
+    maps = [
+        {r[0]: r[i] for r in cfg.lang_profiles if r[0] != "default"}
+        for i in (1, 2, 3)
+    ]
+    lp = s["lang_pred"]
+    return tuple(
+        lp.map(m).fillna(d).astype(float) for m, d in zip(maps, dflt)
+    )
+
+
 def _keep_series(s: pd.DataFrame, cfg) -> pd.Series:
     """pandas twin of stages.rules_pass_expr + decision — same float64
     comparisons over bit-identical inputs, so the same booleans."""
     nw = s["n_words"]
+    min_words = cfg.min_words
+    min_sw = cfg.min_stopword_ratio
+    min_alpha = cfg.min_alpha_word_frac
+    if cfg.lang_profiles:
+        min_words, min_sw, min_alpha = _profile_thresholds(s, cfg)
     expr = (
-        (nw >= cfg.min_words)
+        (nw >= min_words)
         & (nw <= cfg.max_words)
         & (s["mean_word_len"] >= cfg.min_mean_word_len)
         & (s["mean_word_len"] <= cfg.max_mean_word_len)
         & (s["symbol_ratio"] <= cfg.max_symbol_ratio)
         & (s["distinct_word_ratio"] >= cfg.min_distinct_word_ratio)
-        & (s["stopword_ratio"] >= cfg.min_stopword_ratio)
+        & (s["stopword_ratio"] >= min_sw)
         & (s["ellipsis_count"] <= cfg.max_ellipsis)
         & (s["dup_line_frac"] <= cfg.max_dup_line_frac)
         & (s["dup_para_frac"] <= cfg.max_dup_para_frac)
@@ -121,7 +145,7 @@ def _keep_series(s: pd.DataFrame, cfg) -> pd.Series:
         & (s["ctrl_frac"] <= cfg.max_ctrl_frac)
         & (s["bullet_line_frac"] <= cfg.max_bullet_line_frac)
         & (s["ellipsis_line_frac"] <= cfg.max_ellipsis_line_frac)
-        & (s["alpha_word_frac"] >= cfg.min_alpha_word_frac)
+        & (s["alpha_word_frac"] >= min_alpha)
         & (s["ppl"] <= cfg.max_ppl)
         & s["lang_pred"].isin(list(cfg.allowed_langs))
     )
@@ -159,6 +183,9 @@ def qa_sink(scored_input: DataFrame, out_dir: str, cfg) -> DataFrame:
     from ..functions.qa_fused import _fused_series
 
     data_dir = os.path.join(out_dir, "data")
+    # trip counters are diagnostics against the GLOBAL thresholds by
+    # design (stable cross-run lineage even when lang_profiles vary the
+    # actual gate); the keep decision itself honours the profiles
     min_words, max_symbol = cfg.min_words, cfg.max_symbol_ratio
 
     def sink(batches):

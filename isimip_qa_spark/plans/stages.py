@@ -74,15 +74,39 @@ def _scrub(df: DataFrame, cfg: QAConfig) -> DataFrame:
     return df.withColumn("scrub_delta", scrub_delta_udf(F.col("text")))
 
 
+def _profile_threshold(cfg: QAConfig, idx: int, global_default) -> Column:
+    """CASE chain over lang_pred for profiled threshold `idx` (1 =
+    min_words, 2 = min_stopword_ratio, 3 = min_alpha_word_frac): listed
+    language → its profile value, else the 'default' row, else the
+    global threshold. Profiles are config, so like the sweep grids they
+    compile into the expression — the corpus never joins a dim in the
+    pipeline's decision stage."""
+    rows = [r for r in cfg.lang_profiles if r[0] != "default"]
+    dflt = next((r for r in cfg.lang_profiles if r[0] == "default"), None)
+    expr: Column = F.lit(dflt[idx] if dflt is not None else global_default)
+    for row in rows:
+        expr = F.when(F.col("lang_pred") == row[0], F.lit(row[idx])).otherwise(
+            expr
+        )
+    return expr
+
+
 def rules_pass_expr(cfg: QAConfig) -> Column:
+    min_words: Column | int = cfg.min_words
+    min_sw: Column | float = cfg.min_stopword_ratio
+    min_alpha: Column | float = cfg.min_alpha_word_frac
+    if cfg.lang_profiles:
+        min_words = _profile_threshold(cfg, 1, cfg.min_words)
+        min_sw = _profile_threshold(cfg, 2, cfg.min_stopword_ratio)
+        min_alpha = _profile_threshold(cfg, 3, cfg.min_alpha_word_frac)
     return (
-        (F.col("n_words") >= cfg.min_words)
+        (F.col("n_words") >= min_words)
         & (F.col("n_words") <= cfg.max_words)
         & (F.col("mean_word_len") >= cfg.min_mean_word_len)
         & (F.col("mean_word_len") <= cfg.max_mean_word_len)
         & (F.col("symbol_ratio") <= cfg.max_symbol_ratio)
         & (F.col("distinct_word_ratio") >= cfg.min_distinct_word_ratio)
-        & (F.col("stopword_ratio") >= cfg.min_stopword_ratio)
+        & (F.col("stopword_ratio") >= min_sw)
         & (F.col("ellipsis_count") <= cfg.max_ellipsis)
         & (F.col("dup_line_frac") <= cfg.max_dup_line_frac)
         & (F.col("dup_para_frac") <= cfg.max_dup_para_frac)
@@ -92,7 +116,7 @@ def rules_pass_expr(cfg: QAConfig) -> Column:
         & (F.col("ctrl_frac") <= cfg.max_ctrl_frac)
         & (F.col("bullet_line_frac") <= cfg.max_bullet_line_frac)
         & (F.col("ellipsis_line_frac") <= cfg.max_ellipsis_line_frac)
-        & (F.col("alpha_word_frac") >= cfg.min_alpha_word_frac)
+        & (F.col("alpha_word_frac") >= min_alpha)
     )
 
 

@@ -140,14 +140,32 @@ def qa_frame(pages: pd.DataFrame, cfg: QAConfig | None = None) -> pd.DataFrame:
         scrubbed = scrubbed.str.replace(re.compile(pat), repl, regex=True)
     out["text_scrubbed"] = scrubbed
 
+    # per-language profile thresholds (independent formulation: a plain
+    # per-row Python lookup keyed on lang_pred — listed lang → profile
+    # row, else the 'default' row, else the global threshold)
+    if cfg.lang_profiles:
+        prof = {r[0]: tuple(r[1:]) for r in cfg.lang_profiles}
+        fb = prof.get(
+            "default",
+            (cfg.min_words, cfg.min_stopword_ratio, cfg.min_alpha_word_frac),
+        )
+        trip = [prof.get(lp, fb) for lp in out["lang_pred"]]
+        min_words = np.array([t[0] for t in trip], dtype=np.float64)
+        min_sw = np.array([t[1] for t in trip], dtype=np.float64)
+        min_alpha = np.array([t[2] for t in trip], dtype=np.float64)
+    else:
+        min_words = cfg.min_words
+        min_sw = cfg.min_stopword_ratio
+        min_alpha = cfg.min_alpha_word_frac
+
     out["keep"] = (
-        (out["n_words"] >= cfg.min_words)
+        (out["n_words"] >= min_words)
         & (out["n_words"] <= cfg.max_words)
         & (out["mean_word_len"] >= cfg.min_mean_word_len)
         & (out["mean_word_len"] <= cfg.max_mean_word_len)
         & (out["symbol_ratio"] <= cfg.max_symbol_ratio)
         & (out["distinct_word_ratio"] >= cfg.min_distinct_word_ratio)
-        & (out["stopword_ratio"] >= cfg.min_stopword_ratio)
+        & (out["stopword_ratio"] >= min_sw)
         & (out["ellipsis_count"] <= cfg.max_ellipsis)
         & (out["dup_line_frac"] <= cfg.max_dup_line_frac)
         & (out["dup_para_frac"] <= cfg.max_dup_para_frac)
@@ -157,7 +175,7 @@ def qa_frame(pages: pd.DataFrame, cfg: QAConfig | None = None) -> pd.DataFrame:
         & (out["ctrl_frac"] <= cfg.max_ctrl_frac)
         & (out["bullet_line_frac"] <= cfg.max_bullet_line_frac)
         & (out["ellipsis_line_frac"] <= cfg.max_ellipsis_line_frac)
-        & (out["alpha_word_frac"] >= cfg.min_alpha_word_frac)
+        & (out["alpha_word_frac"] >= min_alpha)
         & (out["ppl"] <= cfg.max_ppl)
         & (out["lang_pred"].isin(list(cfg.allowed_langs)))
     )

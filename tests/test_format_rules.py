@@ -206,6 +206,37 @@ def test_lang_profile_rules_plan_and_semantics(spark):
     assert diffs > 0  # the profile gate is live on the fixture
 
 
+def test_pipeline_with_lang_profiles_matches_reference(
+    spark, pages_sdf, pages_pdf, tmp_path
+):
+    """The REAL pipeline with cfg.lang_profiles set agrees exactly with
+    the pure-pandas reference under the same profiles (the keep/F1
+    contract extended to the profile gate), and the profile gate is live
+    — looser de/zh profiles recover documents the global gate drops."""
+    from isimip_qa_spark.plans.config import QAConfig
+    from isimip_qa_spark.plans.pipeline import read_scored, run_qa
+    from oracle.pandas_ref import qa_frame
+
+    profiles = (
+        ("de", 10, 0.0, 0.5),
+        ("zh", 10, 0.0, 0.5),
+        ("default", 50, 0.01, 0.8),
+    )
+    cfg = QAConfig(lang_profiles=profiles)
+    out = str(tmp_path / "qa_prof")
+    run_qa(spark, pages_sdf, cfg, out)
+    got = read_scored(spark, out).toPandas()
+    oracle = qa_frame(pages_pdf.drop(columns=["html"]), cfg)
+    merged = got.merge(
+        oracle[["url", "keep"]], on="url", suffixes=("", "_o")
+    )
+    assert len(merged) == len(got)
+    assert (merged["keep"] == merged["keep_o"]).all()
+    n_prof = int(oracle["keep"].sum())
+    n_glob = int(qa_frame(pages_pdf.drop(columns=["html"]))["keep"].sum())
+    assert n_prof > n_glob
+
+
 def test_cjk_text_is_wordlike(spark):
     """The negated-ASCII wordlike class keeps CJK tokens alphabetic (the
     reason the rule is not an [A-Za-z] test): a pure-CJK doc scores
