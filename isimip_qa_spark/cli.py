@@ -66,6 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--export-shards", type=int, default=16)
     p.add_argument(
+        "--lang-profiles", default=None,
+        help="per-language threshold profiles for the keep gate: inline "
+        "'lang:min_words:min_stopword_ratio:min_alpha_word_frac;...' "
+        "(a 'default' lang covers unlisted languages) or a path to a "
+        "JSON list of [lang, min_words, min_sw, min_alpha] rows; "
+        "omitted = global thresholds for every language",
+    )
+    p.add_argument(
         "--dsir-target", default=None,
         help="target-domain corpus (parquet with a text column): (re)fit "
         "a DSIR importance model against it (plans/dsir_artifact.py), "
@@ -97,6 +105,40 @@ def _parse_window(tok: str | None):
     return tuple(f"{d} 00:00:00" for d in parts)
 
 
+def _parse_lang_profiles(tok: str | None):
+    """--lang-profiles → QAConfig.lang_profiles tuple. Inline
+    'lang:w:sw:af;...' or a JSON file of [lang, w, sw, af] rows;
+    validated here so a malformed spec fails before the Spark session
+    exists (the _parse_window discipline)."""
+    if not tok:
+        return None
+    import json
+    import os
+
+    try:
+        if os.path.exists(tok):
+            with open(tok) as fh:
+                raw = json.load(fh)
+            rows = [tuple(r) for r in raw]
+        else:
+            rows = []
+            for part in tok.split(";"):
+                f = part.split(":")
+                if len(f) != 4:
+                    raise ValueError(
+                        f"profile token {part!r} needs lang:w:sw:af"
+                    )
+                rows.append((f[0], f[1], f[2], f[3]))
+        out = tuple(
+            (str(l), int(w), float(sw), float(af)) for l, w, sw, af in rows
+        )
+    except (ValueError, TypeError, json.JSONDecodeError) as e:
+        raise SystemExit(f"--lang-profiles: {e}")
+    if not out:
+        raise SystemExit("--lang-profiles: empty profile list")
+    return out
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     # validate flag combinations BEFORE any compute: a typo must not cost
@@ -119,6 +161,7 @@ def main(argv=None) -> int:
         raise SystemExit("--dsir-threshold only filters --export-dir output")
     if args.dsir_threshold is not None and not args.dsir_artifact:
         raise SystemExit("--dsir-threshold needs --dsir-artifact")
+    lang_profiles = _parse_lang_profiles(args.lang_profiles)
 
     from pyspark.sql import SparkSession
 
@@ -144,6 +187,7 @@ def main(argv=None) -> int:
         window=window,
         cohort_langs=tuple(args.langs.split(",")) if args.langs else None,
         extract_from_html=args.from_html,
+        lang_profiles=lang_profiles,
     )
     pages = spark.read.parquet(args.input)
     if args.windows or args.cohorts:

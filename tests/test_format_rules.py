@@ -237,6 +237,53 @@ def test_pipeline_with_lang_profiles_matches_reference(
     assert n_prof > n_glob
 
 
+def test_cli_lang_profiles(spark, tmp_path):
+    """--lang-profiles: inline and JSON-file specs parse (malformed specs
+    fail before any compute), and an end-to-end CLI run under looser
+    de/zh profiles keeps more documents than the global-gate run."""
+    import json
+    import os
+
+    import numpy as np
+
+    from isimip_qa_spark.cli import _parse_lang_profiles, main
+    from isimip_qa_spark.sources.pages import pages_pandas
+
+    assert _parse_lang_profiles(None) is None
+    assert _parse_lang_profiles("de:10:0.0:0.5;default:50:0.01:0.8") == (
+        ("de", 10, 0.0, 0.5),
+        ("default", 50, 0.01, 0.8),
+    )
+    jpath = str(tmp_path / "prof.json")
+    with open(jpath, "w") as fh:
+        json.dump([["zh", 10, 0.0, 0.5]], fh)
+    assert _parse_lang_profiles(jpath) == (("zh", 10, 0.0, 0.5),)
+    with pytest.raises(SystemExit):
+        _parse_lang_profiles("de:10:0.0")  # missing field
+    with pytest.raises(SystemExit):
+        _parse_lang_profiles("de:ten:0.0:0.5")  # non-numeric
+
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(pages_pandas(np.arange(400))).write.parquet(src)
+    out_g = str(tmp_path / "out_g")
+    out_p = str(tmp_path / "out_p")
+    base = ["--input", src, "--chunks", "2", "--mode", "single_pass"]
+    assert main(base + ["--output", out_g]) == 0
+    assert (
+        main(
+            base
+            + [
+                "--output", out_p,
+                "--lang-profiles", "de:10:0.0:0.5;zh:10:0.0:0.5",
+            ]
+        )
+        == 0
+    )
+    kg = spark.read.parquet(os.path.join(out_g, "data")).filter("keep").count()
+    kp = spark.read.parquet(os.path.join(out_p, "data")).filter("keep").count()
+    assert kp > kg
+
+
 def test_cjk_text_is_wordlike(spark):
     """The negated-ASCII wordlike class keeps CJK tokens alphabetic (the
     reason the rule is not an [A-Za-z] test): a pure-CJK doc scores
