@@ -54,6 +54,7 @@ def load_all() -> None:
         packing,
         reference_ops,
         retrieval,
+        scriptid,
         selection,
         substring,
         textmodel,

@@ -149,3 +149,113 @@ def extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Meta-directive extraction: <meta name="robots"> and <link rel="canonical">
+# from the raw capture — the crawl-politeness gate every production
+# pipeline applies before spending any QA compute (a page that asks not to
+# be indexed is dropped regardless of quality), plus the canonical URL
+# that feeds URL-level dedup (dedup_url_latest / url_canonicalize consume
+# exactly this kind of publisher-declared grouping key).
+#
+# The constructed <head> plants every branch: directive present in mixed
+# case (case-fold), 'noindex, nofollow' vs bare 'NOINDEX' (token split),
+# directive absent entirely (missing-tag default = indexable), canonical
+# present vs absent, and EVEN/ODD doc pairs sharing one canonical href
+# (the publisher-declared duplicate family).
+#
+# Scale shape: one projection over the scan — three JVM regexes per row on
+# the head slice, no exchange, no Python; html never leaves the JVM.
+# ---------------------------------------------------------------------------
+
+_ROBOTS_RE = '(?i)<meta\\s+name="robots"\\s+content="([^"]*)"'
+_CANON_RE = '(?i)<link\\s+rel="canonical"\\s+href="([^"]*)"'
+
+_META_HTML_SQL = """
+    '<html><head>' ||
+    CASE (doc_id % 4)
+      WHEN 0 THEN '<meta name="ROBOTS" content="noindex, nofollow">'
+      WHEN 1 THEN '<meta name="robots" content="NOINDEX">'
+      WHEN 2 THEN '<meta name="Robots" content="index, follow">'
+      ELSE '' END ||
+    CASE WHEN doc_id % 3 = 0 THEN ''
+         ELSE '<link rel="canonical" href="https://h'
+              || ((doc_id - (doc_id % 2)) % 5)::VARCHAR || '.example.org/c/'
+              || (doc_id - (doc_id % 2))::VARCHAR || '">' END ||
+    '</head><body>' || text || '</body></html>'
+"""
+
+_META_SQL = f"""
+    WITH h AS (SELECT doc_id, {_META_HTML_SQL} AS html FROM documents),
+    x AS (
+      SELECT doc_id,
+             lower(coalesce(regexp_extract(html, '{_ROBOTS_RE}', 1), ''))
+               AS robots,
+             coalesce(regexp_extract(html, '{_CANON_RE}', 1), '')
+               AS canonical
+      FROM h
+    )
+    SELECT doc_id, robots, canonical,
+           robots LIKE '%noindex%' AS noindex,
+           robots LIKE '%nofollow%' AS nofollow,
+           NOT robots LIKE '%noindex%' AS index_keep
+    FROM x
+"""
+
+
+@register("meta_directives", _META_SQL)
+def meta_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, robots, canonical, noindex, nofollow, index_keep): robots
+    meta directive + canonical link recovered from the constructed raw
+    capture; ``index_keep`` is the politeness gate (missing directive =
+    indexable), ``canonical`` the publisher-declared dup-family key."""
+    d = read_table(spark, sf_dir, "documents")
+    m4 = F.pmod(F.col("doc_id"), F.lit(4))
+    meta_tag = (
+        F.when(
+            m4 == 0,
+            F.lit('<meta name="ROBOTS" content="noindex, nofollow">'),
+        )
+        .when(m4 == 1, F.lit('<meta name="robots" content="NOINDEX">'))
+        .when(m4 == 2, F.lit('<meta name="Robots" content="index, follow">'))
+        .otherwise(F.lit(""))
+    )
+    canon_tag = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit("")
+    ).otherwise(
+        F.concat(
+            F.lit('<link rel="canonical" href="https://h'),
+            F.pmod(
+                F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(2)),
+                F.lit(5),
+            ).cast("string"),
+            F.lit(".example.org/c/"),
+            (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(2))).cast(
+                "string"
+            ),
+            F.lit('">'),
+        )
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        meta_tag,
+        canon_tag,
+        F.lit("</head><body>"),
+        F.col("text"),
+        F.lit("</body></html>"),
+    )
+    staged = d.select(
+        "doc_id",
+        F.lower(F.regexp_extract(html, _ROBOTS_RE, 1)).alias("robots"),
+        F.regexp_extract(html, _CANON_RE, 1).alias("canonical"),
+    )
+    noindex = F.col("robots").contains("noindex")
+    return staged.select(
+        "doc_id",
+        "robots",
+        "canonical",
+        noindex.alias("noindex"),
+        F.col("robots").contains("nofollow").alias("nofollow"),
+        (~noindex).alias("index_keep"),
+    )

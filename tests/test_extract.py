@@ -81,3 +81,69 @@ def test_pipeline_raw_capture_entry_matches_text_entry(spark, tmp_path):
     pd_cols = [c for c in a.columns if c != "chunk"]
     assert a[pd_cols].equals(b[pd_cols])
     assert (b["text"] != "POISON").all()
+
+
+def test_meta_directives_match_python_reference(spark):
+    """Robots/canonical extraction vs a pure-Python re reference over the
+    same constructed head, exercising every planted branch."""
+    import re
+
+    from isimip_qa_spark.queries.extract import meta_directives
+
+    sf = "/root/testdata/sf0.001"
+    rows = meta_directives(spark, sf).collect()
+    assert rows
+    robots_re = re.compile(r'<meta\s+name="robots"\s+content="([^"]*)"', re.I)
+    canon_re = re.compile(r'<link\s+rel="canonical"\s+href="([^"]*)"', re.I)
+    seen = {"noindex": 0, "indexable": 0, "no_meta": 0, "no_canon": 0}
+    for r in rows:
+        did = int(r["doc_id"])
+        m4, m3 = did % 4, did % 3
+        meta = {
+            0: '<meta name="ROBOTS" content="noindex, nofollow">',
+            1: '<meta name="robots" content="NOINDEX">',
+            2: '<meta name="Robots" content="index, follow">',
+            3: "",
+        }[m4]
+        canon = (
+            ""
+            if m3 == 0
+            else f'<link rel="canonical" href="https://h{(did - did % 2) % 5}'
+            f'.example.org/c/{did - did % 2}">'
+        )
+        head = f"<html><head>{meta}{canon}</head>"
+        rm = robots_re.search(head)
+        want_robots = rm.group(1).lower() if rm else ""
+        cm = canon_re.search(head)
+        want_canon = cm.group(1) if cm else ""
+        assert r["robots"] == want_robots, did
+        assert r["canonical"] == want_canon, did
+        assert r["noindex"] == ("noindex" in want_robots)
+        assert r["nofollow"] == ("nofollow" in want_robots)
+        assert r["index_keep"] == ("noindex" not in want_robots)
+        seen["noindex" if r["noindex"] else "indexable"] += 1
+        if not want_robots:
+            seen["no_meta"] += 1
+        if not want_canon:
+            seen["no_canon"] += 1
+    assert all(seen.values()), seen
+    # canonical dup families: even/odd pairs that BOTH carry the link
+    # share one href
+    by_canon = {}
+    for r in rows:
+        if r["canonical"]:
+            by_canon.setdefault(r["canonical"], []).append(int(r["doc_id"]))
+    assert any(len(v) == 2 for v in by_canon.values())
+
+
+def test_meta_directives_plan_is_pure_projection(spark):
+    from isimip_qa_spark.queries.extract import meta_directives
+
+    plan = (
+        meta_directives(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
