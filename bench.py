@@ -11,7 +11,7 @@ the numbers measure the engine, not the sandbox disk.
 Env knobs:
     SPARK_GRAFT_SF_DIR   table dir     (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[N]      (default 32)
-    BENCH_PAGES_N        pages corpus  (default 100_000)
+    BENCH_PAGES_N        pages corpus  (default 1_000_000)
     BENCH_SKIP_PAGES=1   skip the QA-pipeline segment
     BENCH_QA_ONLY=1      skip the per-query segment (scaling runs)
 
@@ -38,7 +38,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-PAGES_N = int(os.environ.get("BENCH_PAGES_N", "100000"))
+# 1M docs, not 100k: at 100k the ~1-2s fixed job cost (job submit, python
+# worker fan-out, sink commit) is ~half the wall, understating sustained
+# throughput ~3x (same-window measurement: 31k docs/s at 100k vs 94k at
+# 1M on local[32]; the 4M-doc scaling campaign reads 97k on EIGHT confined
+# cores). 1M amortizes the constant to <10% while keeping the segment
+# ~10s/run.
+PAGES_N = int(os.environ.get("BENCH_PAGES_N", "1000000"))
 TMP = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 QA_CHUNKS = 4
 

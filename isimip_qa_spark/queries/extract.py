@@ -259,3 +259,43 @@ def meta_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("robots").contains("nofollow").alias("nofollow"),
         (~noindex).alias("index_keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-key dedup: group documents by the publisher-declared canonical
+# URL recovered above — the cheapest dedup signal in a crawl (no content
+# hashing at all: the publisher TELLS you the duplicate family) and the
+# standard first pass before content-based dedup spends compute.
+#
+# Scale shape: the meta_directives projection (one scan, JVM regexes) →
+# filter to link-bearing docs → ONE hash agg keyed on the canonical href
+# (short publisher strings, cardinality ≤ n_docs, map-side combine) →
+# family filter. Representative = min doc_id, the dedup_exact convention.
+# ---------------------------------------------------------------------------
+
+_CANON_DEDUP_SQL = f"""
+    WITH meta AS ({_META_SQL})
+    SELECT canonical, count(*)::BIGINT AS n_docs,
+           min(doc_id)::BIGINT AS rep_doc_id
+    FROM meta WHERE canonical <> ''
+    GROUP BY canonical HAVING count(*) >= 2
+"""
+
+
+@register("dedup_canonical", _CANON_DEDUP_SQL)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(canonical, n_docs, rep_doc_id): publisher-declared duplicate
+    families — documents sharing a rel=canonical href, keeping the
+    min-doc_id representative (the dedup_exact convention). Composes the
+    meta_directives extraction, so the two queries can never disagree
+    about what the canonical key is."""
+    meta = meta_directives(spark, sf_dir)
+    return (
+        meta.filter(F.col("canonical") != "")
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("rep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -147,3 +147,38 @@ def test_meta_directives_plan_is_pure_projection(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_dedup_canonical_families(spark):
+    """Families are exactly the even/odd pairs where BOTH members carry
+    the canonical link (neither doc_id ≡ 0 mod 3), rep = even member."""
+    from isimip_qa_spark.queries.extract import dedup_canonical
+
+    sf = "/root/testdata/sf0.001"
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    rows = {r["canonical"]: r for r in dedup_canonical(spark, sf).collect()}
+    assert rows
+    want = {}
+    for base in range(0, n_docs, 2):
+        members = [
+            d for d in (base, base + 1) if d < n_docs and d % 3 != 0
+        ]
+        if len(members) == 2:
+            href = (
+                f"https://h{base % 5}.example.org/c/{base}"
+            )
+            want[href] = (len(members), members[0])
+    assert {k: (r["n_docs"], r["rep_doc_id"]) for k, r in rows.items()} == want
+
+
+def test_dedup_canonical_plan_single_exchange(spark):
+    from isimip_qa_spark.queries.extract import dedup_canonical
+
+    plan = (
+        dedup_canonical(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan
