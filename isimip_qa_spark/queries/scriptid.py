@@ -75,19 +75,14 @@ def _script_plant_sql() -> str:
 
 
 def _class_count(p: Column, cls: str) -> Column:
-    # chars in class = length - length(page with the class deleted);
-    # counts codepoints identically in Spark and DuckDB (both are
-    # codepoint-length engines) for BMP classes like these.
-    return (F.length(p) - F.length(F.regexp_replace(p, cls, ""))).cast(
-        "long"
-    )
+    # the repo's established class-count idiom (textstats.py): one
+    # regexp_count per class, codepoint-identical in Spark and DuckDB's
+    # twin below for BMP classes like these.
+    return F.regexp_count(p, F.lit(cls)).cast("long")
 
 
 def _class_count_sql(p: str, cls: str) -> str:
-    return (
-        f"(length({p}) - length(regexp_replace({p}, '{cls}', '', 'g')))"
-        "::BIGINT"
-    )
+    return f"len(regexp_extract_all({p}, '{cls}'))::BIGINT"
 
 
 _SCRIPT_SQL = f"""
@@ -101,19 +96,21 @@ _SCRIPT_SQL = f"""
              {_class_count_sql("page", _CJK_CLASS)} AS cjk_n,
              {_class_count_sql("page", _CYR_CLASS)} AS cyr_n
       FROM p
+    ),
+    d AS (
+      SELECT *,
+             CASE WHEN latin_n >= cjk_n AND latin_n >= cyr_n THEN 'latin'
+                  WHEN cjk_n >= cyr_n THEN 'cjk'
+                  ELSE 'cyr' END AS dominant_script,
+             CASE WHEN lang = 'zh' THEN 'cjk' ELSE 'latin' END
+               AS expected_script
+      FROM c
     )
     SELECT doc_id, lang, n_chars, latin_n, cjk_n, cyr_n,
-           CASE WHEN latin_n >= cjk_n AND latin_n >= cyr_n THEN 'latin'
-                WHEN cjk_n >= cyr_n THEN 'cjk'
-                ELSE 'cyr' END AS dominant_script,
-           CASE WHEN lang = 'zh' THEN 'cjk' ELSE 'latin' END
-             AS expected_script,
-           (CASE WHEN latin_n >= cjk_n AND latin_n >= cyr_n THEN 'latin'
-                 WHEN cjk_n >= cyr_n THEN 'cjk'
-                 ELSE 'cyr' END
-              = CASE WHEN lang = 'zh' THEN 'cjk' ELSE 'latin' END)
+           dominant_script, expected_script,
+           (dominant_script = expected_script)
            AND (lang = 'zh' OR cyr_n = 0) AS script_keep
-    FROM c
+    FROM d
 """
 
 

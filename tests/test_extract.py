@@ -83,14 +83,14 @@ def test_pipeline_raw_capture_entry_matches_text_entry(spark, tmp_path):
     assert (b["text"] != "POISON").all()
 
 
-def test_meta_directives_match_python_reference(spark):
+def test_meta_directives_match_python_reference(spark, sf_dir):
     """Robots/canonical extraction vs a pure-Python re reference over the
     same constructed head, exercising every planted branch."""
     import re
 
     from isimip_qa_spark.queries.extract import meta_directives
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     rows = meta_directives(spark, sf).collect()
     assert rows
     robots_re = re.compile(r'<meta\s+name="robots"\s+content="([^"]*)"', re.I)
@@ -136,11 +136,11 @@ def test_meta_directives_match_python_reference(spark):
     assert any(len(v) == 2 for v in by_canon.values())
 
 
-def test_meta_directives_plan_is_pure_projection(spark):
+def test_meta_directives_plan_is_pure_projection(spark, sf_dir):
     from isimip_qa_spark.queries.extract import meta_directives
 
     plan = (
-        meta_directives(spark, "/root/testdata/sf0.001")
+        meta_directives(spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -149,12 +149,12 @@ def test_meta_directives_plan_is_pure_projection(spark):
     assert "Python" not in plan
 
 
-def test_dedup_canonical_families(spark):
+def test_dedup_canonical_families(spark, sf_dir):
     """Families are exactly the even/odd pairs where BOTH members carry
     the canonical link (neither doc_id ≡ 0 mod 3), rep = even member."""
     from isimip_qa_spark.queries.extract import dedup_canonical
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
     rows = {r["canonical"]: r for r in dedup_canonical(spark, sf).collect()}
     assert rows
@@ -171,11 +171,11 @@ def test_dedup_canonical_families(spark):
     assert {k: (r["n_docs"], r["rep_doc_id"]) for k, r in rows.items()} == want
 
 
-def test_dedup_canonical_plan_single_exchange(spark):
+def test_dedup_canonical_plan_single_exchange(spark, sf_dir):
     from isimip_qa_spark.queries.extract import dedup_canonical
 
     plan = (
-        dedup_canonical(spark, "/root/testdata/sf0.001")
+        dedup_canonical(spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
