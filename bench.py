@@ -157,6 +157,10 @@ BENCH_QUERIES = [
     "source_divergence",
     "c4_line_clean",
     "extract_links",
+    "script_profile",
+    "ocr_artifact_rules",
+    "meta_directives",
+    "dedup_canonical",
     "repeat_weights",
     "encoding_quality",
     # host_families is correctness-gated but not benched: at toy scale its

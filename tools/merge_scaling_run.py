@@ -1,0 +1,55 @@
+"""Merge a fresh bench_scaling.py full-matrix run into repo-root
+SCALING.json, preserving the campaign history keys (sink-codec sweep,
+repeatability band, envelope) that the original consolidator
+(tools/consolidate_scaling.py) assembled from the full campaign
+directory — for refresh runs where only the baseline matrix is re-run
+on newer code.
+
+Usage: python tools/merge_scaling_run.py /tmp/scaling_r3/final3.json "note"
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    run_path = sys.argv[1]
+    note = sys.argv[2] if len(sys.argv) > 2 else ""
+    with open(run_path) as f:
+        run = json.load(f)
+    path = os.path.join(REPO, "SCALING.json")
+    with open(path) as f:
+        cur = json.load(f)
+
+    cur["prior_campaign_levels"] = cur["levels"]
+    cur["levels"] = run["levels"]
+    cur["pages_n"] = run["pages_n"]
+    cur["rounds"] = run["rounds"]
+    cur["n_to_4n_pairs"] = run["n_to_4n_pairs"]
+    pair14 = run["n_to_4n_pairs"].get("local[1] -> local[4]", {})
+    cur["headline"] = {
+        "criterion": "throughput scaling efficiency >= 0.8 from N to 4N",
+        "pair": "local[1] -> local[4]",
+        "efficiency": pair14.get("scaling_efficiency"),
+        "pass": pair14.get("pass"),
+    }
+    pair28 = run["n_to_4n_pairs"].get("local[2] -> local[8]")
+    if pair28 and "repeatability_2_8" in cur:
+        cur["repeatability_2_8"]["runs"].append(
+            pair28["scaling_efficiency"]
+        )
+    if note:
+        cur["campaign_note"] = note
+    with open(path, "w") as f:
+        json.dump(cur, f, indent=2)
+    print(json.dumps(cur["headline"]))
+    print(json.dumps(run["n_to_4n_pairs"]))
+
+
+if __name__ == "__main__":
+    main()
