@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "ocr_artifact_rules",
     "meta_directives",
     "dedup_canonical",
+    "hreflang_clusters",
     "repeat_weights",
     "encoding_quality",
     # host_families is correctness-gated but not benched: at toy scale its

@@ -299,3 +299,153 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# hreflang alternate clusters: <link rel="alternate" hreflang="xx"> blocks
+# mined into cross-language page families — the URL-structure signal behind
+# web-mined parallel corpora (CCAligned, El-Kishky et al. 2020: translation
+# candidates come from pages that DECLARE each other as language alternates
+# before any content model runs) and the cross-lingual complement of
+# `dedup_canonical`'s same-language families.
+#
+# Plant: pages in groups of three (fid = doc_id div 3) carry a two-language
+# alternate block pointing at the family path f/<fid>/<lang>; every fifth
+# page omits the block (not all pages annotate). Family key = the href
+# with the trailing language segment stripped; per-page language set is
+# emitted as a canonically sorted csv so the family rollup needs no
+# cross-engine set aggregation (every member declares the same set —
+# asserted by the min() == max() guard column).
+#
+# Scale shape: one projection (regexes on the head slice) → one hash agg
+# keyed on the family path (short publisher strings, map-side combine) →
+# HAVING n_pages >= 2. No explode: the language list folds to its csv
+# inside the row.
+# ---------------------------------------------------------------------------
+
+_LANG_WHEEL = ["en", "de", "fr", "es", "zh"]
+_HREFLANG_RE = '(?i)<link\\s+rel="alternate"\\s+hreflang="([a-z]+)"'
+_ALT_HREF_RE = '(?i)hreflang="[a-z]+"\\s+href="([^"]*)"'
+_FAMILY_RE = "^(.*)/[a-z]+$"
+
+
+def _hreflang_plant_sql() -> str:
+    wheel = ", ".join(f"'{lang}'" for lang in _LANG_WHEEL)
+    return f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 4 THEN '<html><head></head>'
+                ELSE '<html><head>'
+                  || '<link rel="alternate" hreflang="' || la
+                  || '" href="https://h' || (fid % 7)::VARCHAR
+                  || '.example.org/f/' || fid::VARCHAR || '/' || la || '">'
+                  || '<link rel="Alternate" hreflang="' || lb
+                  || '" href="https://h' || (fid % 7)::VARCHAR
+                  || '.example.org/f/' || fid::VARCHAR || '/' || lb || '">'
+                  || '</head>' END AS head
+    FROM (
+      SELECT doc_id, fid,
+             wheel[(fid % 5) + 1] AS la,
+             wheel[((fid + 2) % 5) + 1] AS lb
+      FROM (SELECT doc_id, (doc_id - doc_id % 3) // 3 AS fid,
+                   [{wheel}] AS wheel
+            FROM documents)
+    )"""
+
+
+_HREFLANG_SQL = f"""
+    WITH h AS ({_hreflang_plant_sql()}),
+    x AS (
+      SELECT doc_id,
+             regexp_extract_all(head, '{_HREFLANG_RE}', 1) AS langs,
+             regexp_extract_all(head, '{_ALT_HREF_RE}', 1) AS hrefs
+      FROM h
+    ),
+    f AS (
+      SELECT doc_id,
+             regexp_extract(hrefs[1], '{_FAMILY_RE}', 1) AS family,
+             CASE WHEN len(langs) = 0 THEN ''
+                  WHEN langs[1] <= langs[2]
+                    THEN langs[1] || ',' || langs[2]
+                  ELSE langs[2] || ',' || langs[1] END AS langs_csv
+      FROM x
+    )
+    SELECT family, count(*)::BIGINT AS n_pages,
+           min(langs_csv) AS langs_csv,
+           (min(langs_csv) = max(langs_csv)) AS consistent
+    FROM f WHERE family <> ''
+    GROUP BY family HAVING count(*) >= 2
+"""
+
+
+@register("hreflang_clusters", _HREFLANG_SQL)
+def hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(family, n_pages, langs_csv, consistent): cross-language page
+    families mined from planted hreflang alternate blocks — the
+    URL-declared translation candidates of CCAligned-style parallel-corpus
+    mining. `consistent` asserts every member declares the same language
+    set (min == max of the per-page canonical csv)."""
+    d = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    fid = ((did - F.pmod(did, F.lit(3))) / F.lit(3)).cast("long")
+    wheel = F.array(*[F.lit(lang) for lang in _LANG_WHEEL])
+    la = F.element_at(wheel, (F.pmod(fid, F.lit(5)) + 1).cast("int"))
+    lb = F.element_at(
+        wheel, (F.pmod(fid + 2, F.lit(5)) + 1).cast("int")
+    )
+
+    def alt(lang: Column, rel: str) -> Column:
+        return F.concat(
+            F.lit(f'<link rel="{rel}" hreflang="'),
+            lang,
+            F.lit('" href="https://h'),
+            F.pmod(fid, F.lit(7)).cast("string"),
+            F.lit(".example.org/f/"),
+            fid.cast("string"),
+            F.lit("/"),
+            lang,
+            F.lit('">'),
+        )
+
+    head = F.when(
+        F.pmod(did, F.lit(5)) == 4, F.lit("<html><head></head>")
+    ).otherwise(
+        F.concat(
+            F.lit("<html><head>"),
+            alt(la, "alternate"),
+            alt(lb, "Alternate"),
+            F.lit("</head>"),
+        )
+    )
+    x = d.select(
+        "doc_id",
+        F.regexp_extract_all(head, F.lit(_HREFLANG_RE), 1).alias("langs"),
+        F.regexp_extract_all(head, F.lit(_ALT_HREF_RE), 1).alias("hrefs"),
+    )
+    lgs = F.col("langs")
+    # try_element_at, not element_at: pages without the block yield empty
+    # arrays, and ANSI element_at raises even under a size() guard once
+    # codegen hoists it
+    l1, l2 = F.try_element_at(lgs, F.lit(1)), F.try_element_at(lgs, F.lit(2))
+    fam = x.select(
+        "doc_id",
+        F.coalesce(
+            F.regexp_extract(
+                F.try_element_at(F.col("hrefs"), F.lit(1)), _FAMILY_RE, 1
+            ),
+            F.lit(""),
+        ).alias("family"),
+        F.coalesce(
+            F.concat_ws(",", F.least(l1, l2), F.greatest(l1, l2)),
+            F.lit(""),
+        ).alias("langs_csv"),
+    )
+    return (
+        fam.filter(F.col("family") != "")
+        .groupBy("family")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("langs_csv").alias("langs_csv"),
+            (F.min("langs_csv") == F.max("langs_csv")).alias("consistent"),
+        )
+        .filter(F.col("n_pages") >= 2)
+    )

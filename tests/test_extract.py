@@ -182,3 +182,50 @@ def test_dedup_canonical_plan_single_exchange(spark, sf_dir):
     )
     assert plan.count("Exchange") == 1
     assert "Python" not in plan
+
+
+def test_hreflang_clusters_match_python_reference(spark, sf_dir):
+    """Family membership, sizes, and language sets recomputed from the
+    plant's arithmetic; members missing the block (doc_id % 5 == 4) must
+    not count toward their family."""
+    from isimip_qa_spark.queries.extract import (
+        _LANG_WHEEL,
+        hreflang_clusters,
+    )
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    want = {}
+    for did in range(n_docs):
+        if did % 5 == 4:
+            continue
+        fid = did // 3
+        la = _LANG_WHEEL[fid % 5]
+        lb = _LANG_WHEEL[(fid + 2) % 5]
+        family = f"https://h{fid % 7}.example.org/f/{fid}"
+        csv = ",".join(sorted([la, lb]))
+        n, _ = want.get(family, (0, csv))
+        want[family] = (n + 1, csv)
+    want = {k: v for k, v in want.items() if v[0] >= 2}
+    got = {
+        r["family"]: (r["n_pages"], r["langs_csv"], r["consistent"])
+        for r in hreflang_clusters(spark, sf_dir).collect()
+    }
+    assert {k: (n, c) for k, (n, c, _) in got.items()} == want
+    assert all(c for _, _, c in got.values())
+    # the fixture must exercise both family sizes (a member dropped by the
+    # %5 hole vs a complete triple)
+    sizes = {n for n, _ in want.values()}
+    assert 2 in sizes and 3 in sizes
+
+
+def test_hreflang_clusters_plan_single_exchange(spark, sf_dir):
+    from isimip_qa_spark.queries.extract import hreflang_clusters
+
+    plan = (
+        hreflang_clusters(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan
