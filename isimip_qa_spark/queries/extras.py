@@ -115,17 +115,28 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Anti-join — customers that placed no orders (the engine's semi/anti story;
-# broadcast the small side).
+# broadcast the small side). The generated fixtures give every customer at
+# least one order at small sf, which made this oracle row compare
+# empty-vs-empty (round-3 verdict); both engines union ONE synthetic
+# order-less customer (c_custkey -1, segment 'PLANTED') so the driver's
+# check exercises real anti-join semantics at every sf.
 @register(
     "anti_join_idle_customers",
     oracle="""
+    WITH c AS (SELECT c_custkey, c_mktsegment FROM customer
+               UNION ALL SELECT -1, 'PLANTED')
     SELECT c.c_mktsegment, count(*) AS n_idle
-    FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+    FROM c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
     """,
 )
 def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = read_table(spark, sf_dir, "customer")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    c = c.unionByName(
+        spark.createDataFrame(
+            [(-1, "PLANTED")], "c_custkey long, c_mktsegment string"
+        )
+    )
     o = read_table(spark, sf_dir, "orders")
     idle = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
     return idle.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_idle"))
@@ -278,10 +289,11 @@ def rolling_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user trailing-hour event count, integer activity sum, and mean,
     evaluated at every event via a RANGE frame over epoch seconds.
 
-    Reference anchor: the per-dataset moving-window views of
-    `/root/reference/isimip_qa/extractions.py` recast as an event-time
-    sliding frame (engine-completeness; the reference has no sliding
-    window — its time axis is resampled, not windowed)."""
+    Engine-completeness payload with no reference analogue: the
+    reference's time axes are aggregated per calendar unit
+    (/root/reference/isimip_qa/plots/daily.py et al.), never slid —
+    this supplies the bounded event-time sliding frame that aggregation
+    family is missing."""
     ev = read_table(spark, sf_dir, "events")
     rows = ev.select(
         "event_id",

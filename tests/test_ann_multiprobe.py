@@ -115,6 +115,7 @@ def test_bucket_udf_equals_expression_path(spark, emb_dir):
 
 def test_multiprobe_catches_straddling_pair(spark, emb_dir):
     from isimip_qa_spark.queries.ann import (
+        PLANT_BASE,
         dedup_embedding_cosine,
         dedup_embedding_cosine_multiprobe,
     )
@@ -127,7 +128,14 @@ def test_multiprobe_catches_straddling_pair(spark, emb_dir):
         (r.id_a, r.id_b)
         for r in dedup_embedding_cosine_multiprobe(spark, d).collect()
     }
-    assert (ia, ib) not in single  # the single-table recall gap, demonstrated
-    assert (ia, ib) in multi  # closed by banding over rotations
-    assert multi == _ground_truth_pairs(vecs)  # full recall on the fixture
+    # the registered queries union the deterministic plant (ann.plant_rows,
+    # ids >= PLANT_BASE) into their input; scope recall claims to fixture ids
+    single_fx = {p for p in single if p[0] < PLANT_BASE}
+    multi_fx = {p for p in multi if p[0] < PLANT_BASE}
+    assert (ia, ib) not in single_fx  # the single-table recall gap, shown
+    assert (ia, ib) in multi_fx  # closed by banding over rotations
+    assert multi_fx == _ground_truth_pairs(vecs)  # full recall on fixture
     assert single <= multi  # rotations only ever add candidates
+    # and the plant itself is caught by BOTH paths (bucket-stable pairs)
+    planted = {(PLANT_BASE + 2 * i, PLANT_BASE + 2 * i + 1) for i in range(3)}
+    assert planted <= single and planted <= multi
