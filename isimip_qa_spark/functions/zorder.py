@@ -3,8 +3,8 @@
 A 100-TB table range-partitioned on ONE column prunes scans on that
 column only; a crawl workload filters on several (host bucket × capture
 time, length × quality, lat × lon in the reference's grids —
-isimip_qa/extractions map extractions are exactly 2-D cell scans,
-/root/reference/isimip_qa/extractions/map.py). Writing the table sorted
+the reference's map extractions are exactly 2-D lat/lon cell scans,
+/root/reference/isimip_qa/extractions/meanmap.py). Writing the table sorted
 by the bit-interleaved key gives every file a tight min/max box in BOTH
 dimensions, so parquet footer stats (and an Iceberg manifest) prune box
 queries in either or both dims.

@@ -2,10 +2,12 @@
 
 A crawl team reruns the pipeline after a config, model, or corpus change
 and asks: what moved — keep rate, perplexity, scrub volume — and where?
-The reference's assessment layer answers exactly this question one dataset
-at a time (isimip_qa/assessments.py comparing extractions against prior
-expectations); here it's answered metrics-table-to-metrics-table, the same
-way snapshot_diff (queries/versioning.py) answers it corpus-to-corpus.
+The reference answers this question one dataset at a time through its
+test mechanism — extraction outputs compared against stored expectations
+(isimip_qa/tests/test_extractions.py); here it's answered
+metrics-table-to-metrics-table, the same way snapshot_diff
+(queries/versioning.py) answers it corpus-to-corpus. Payload plan; the
+reference has no runtime drift report.
 
 Everything is computed from the metrics tables the write-audit sink
 emitted (plans/sink.py METRICS_SCHEMA) — the corpora themselves are never

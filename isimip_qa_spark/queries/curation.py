@@ -401,8 +401,9 @@ def mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     host pairs (<< rows). The CAP is what keeps a 10^6-host boilerplate
     segment from generating 10^12 pairs.
 
-    Reference anchor: isimip_qa/assessments.py's cross-dataset comparison
-    face, recast as cross-host duplicate attribution."""
+    Reference anchor: the reference compares datasets side-by-side only in
+    its plot grid (isimip_qa/mixins/plots.py GridPlotMixin); recast here as
+    cross-host duplicate attribution — a payload operator."""
     return mirror_pairs(read_table(spark, sf_dir, "documents"))
 
 

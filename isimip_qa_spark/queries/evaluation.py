@@ -5,10 +5,11 @@ continuous quality score *rank* documents against the binary keep label
 (ROC-AUC — the fastText-classifier acceptance metric in the north_star),
 (b) how far do two gates agree beyond chance (Cohen's kappa), and
 (c) is the score *calibrated* (reliability bins: predicted level vs
-empirical keep rate). The reference's analogue is its
-assessment layer comparing extraction outputs against validity assertions
-(/root/reference/isimip_qa/assessments.py); here the "assertion" is one
-labeller and the "extraction" is another.
+empirical keep rate). The reference's closest analogue is its test
+mechanism comparing extraction outputs against stored expectations
+(/root/reference/isimip_qa/tests/test_extractions.py); here the
+"expectation" is one labeller and the "extraction" is another. These are
+payload metrics — the reference has no runtime evaluation layer.
 
 Both are exact-integer constructions so the cross-engine hash matches:
 

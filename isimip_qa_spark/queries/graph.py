@@ -10,11 +10,12 @@ the identical graph. A production run swaps `_edges` for the real
 (src_host, dst_host, weight) outlink table; everything downstream — degree
 normalisation, the iteration loop, the convergence contract — is unchanged.
 
-Reference analogue: the reference's assessments iterate a fixed per-dataset
-pipeline and emit one summary row per subject
-(/root/reference/isimip_qa/assessments.py); this is the same shape with an
-ITERATIVE fixpoint inside — the one algorithm class (loop-until-k over a
-shuffle) the rest of the repo's single-pass queries don't exercise.
+Reference analogue: the reference iterates a fixed per-dataset extraction
+pipeline and emits one summary artifact per subject
+(/root/reference/isimip_qa/main.py:110-135); this is the same shape with
+an ITERATIVE fixpoint inside — an algorithm class (loop-until-k over a
+shuffle) the reference never needs and the rest of this repo's single-pass
+queries don't exercise. Payload operator; no direct reference analogue.
 
 Scale contract:
 - Each iteration is exactly one shuffle, keyed on dst host — the canonical

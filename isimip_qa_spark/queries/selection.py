@@ -36,10 +36,11 @@ Scale notes (100 TB):
   Entropy/HHI sums are O(|sources|) float adds rounded to 6 — stable far
   beyond the 1e-15 accumulation-order jitter.
 
-Reference anchor: isimip_qa/extractions/base.py's per-dataset extraction +
-isimip_qa/assessments/base.py's summary stats — `domain_diversity` is the
-corpus-level summary analogue; keep-best is the assessment-driven selection
-the reference applies per dataset (best file wins) recast per cluster.
+Reference anchor: isimip_qa/extractions/mean.py's per-dataset summary
+extraction (one weighted summary stat per subject) — `domain_diversity`
+is the corpus-level summary analogue; keep-best selection is a payload
+operator with no reference analogue (the reference never ranks datasets
+against each other).
 """
 
 from __future__ import annotations

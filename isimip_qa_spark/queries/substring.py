@@ -8,10 +8,10 @@ The substring pass finds every word k-gram that occurs more than once in
 the corpus — in another document or at another position of the same one —
 and reports, per document, the merged token-index spans those duplicated
 grams cover, so a downstream writer can cut the spans instead of dropping
-the page. The reference's closest analogue is the assessment pattern of
-flagging *regions* of a dataset rather than whole files
-(isimip_qa/assessments.py plot regions); the span output here is the
-web-text version of that region report.
+the page. The reference's closest analogue is extracting *regions* of a
+dataset rather than whole files (/root/reference/isimip_qa/models.py
+Region masks, applied per extraction in extractions/*.py); the span
+output here is the web-text version of that sub-document granularity.
 
 Scale shape (the plan at 10^12 docs):
 
@@ -119,8 +119,9 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Columns: doc_id, span_start, span_end (inclusive 0-based token
     indices), n_dup_grams (duplicated gram occurrences merged into the
-    span). Reference parity: region-level assessment flags
-    (/root/reference/isimip_qa/assessments.py) recast as span dedup.
+    span). Reference parity: sub-dataset Region granularity
+    (/root/reference/isimip_qa/models.py) recast as span dedup — a
+    payload operator with no direct reference analogue.
     """
     from functools import reduce
 

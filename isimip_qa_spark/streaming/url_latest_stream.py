@@ -34,8 +34,10 @@ Scale contract: state-table shuffle key is the canonical-url string only
 inside each touched bucket's re-reduction (bounded); the stream plan itself
 is STATELESS (no watermark state — all history lives in the table), and a
 microbatch of b rows costs one hash agg over b rows plus a scan of the
-touched buckets. Reference anchor: isimip_qa/download.py refresh semantics
-(newer remote artifact replaces the cached copy), lifted to per-URL
+touched buckets. Reference anchor: the fetch-else-recompute refresh
+semantics of isimip_qa/mixins/extractions.py:18-28
+(RemoteExtractionMixin.fetch writes the newer remote artifact over the
+local path) gated per run at isimip_qa/main.py:127, lifted to per-URL
 streaming granularity."""
 
 from __future__ import annotations
