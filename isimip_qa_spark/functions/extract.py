@@ -92,8 +92,22 @@ def extract_text_sql(html_sql: str) -> str:
 # honest host-level reading of "links to itself or nowhere".
 # ---------------------------------------------------------------------------
 
-_HREF_RE = "(?i)href=[\"']([^\"']*)[\"']"
-_ABS_RE = "(?i)^https?://"
+def nocase(lit: str) -> str:
+    """Case-insensitive literal via explicit per-letter classes.
+
+    `(?i)` folds ASCII-only in Java regex but Unicode-wide in RE2/DuckDB —
+    input containing fold-variant codepoints (U+017F long-s → s, U+212A
+    Kelvin → k, dotless/dotted i → i) inside a tag literal would match on
+    one engine and not the other. Explicit [Aa]-style classes have
+    identical semantics in Java, RE2, and Python, so every head-tag
+    pattern in the repo is built through this helper instead of (?i)."""
+    return "".join(
+        f"[{c.upper()}{c.lower()}]" if c.isalpha() else c for c in lit
+    )
+
+
+_HREF_RE = nocase("href") + "=[\"']([^\"']*)[\"']"
+_ABS_RE = "^" + nocase("http") + "[Ss]?://"
 
 
 def extract_link_hosts_expr(html: Column, base_host: Column) -> Column:

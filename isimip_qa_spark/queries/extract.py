@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..catalog import read_table
 from ..functions import textstats as ts
 from ..functions.extract import (
+    nocase as _nc,
     extract_link_hosts_expr,
     extract_link_hosts_sql,
     extract_text_expr,
@@ -169,8 +170,17 @@ def extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the head slice, no exchange, no Python; html never leaves the JVM.
 # ---------------------------------------------------------------------------
 
-_ROBOTS_RE = '(?i)<meta\\s+name="robots"\\s+content="([^"]*)"'
-_CANON_RE = '(?i)<link\\s+rel="canonical"\\s+href="([^"]*)"'
+# explicit per-letter classes, not (?i) — Java folds ASCII-only, RE2
+# Unicode-wide (U+017F/U+212A/dotless-i), so (?i) is a latent twin gap on
+# adversarial captures (see functions/extract.py:nocase)
+_ROBOTS_RE = (
+    "<" + _nc("meta") + "\\s+" + _nc("name") + '="' + _nc("robots")
+    + '"\\s+' + _nc("content") + '="([^"]*)"'
+)
+_CANON_RE = (
+    "<" + _nc("link") + "\\s+" + _nc("rel") + '="' + _nc("canonical")
+    + '"\\s+' + _nc("href") + '="([^"]*)"'
+)
 
 _META_HTML_SQL = """
     '<html><head>' ||
@@ -324,8 +334,11 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LANG_WHEEL = ["en", "de", "fr", "es", "zh"]
-_HREFLANG_RE = '(?i)<link\\s+rel="alternate"\\s+hreflang="([a-z]+)"'
-_ALT_HREF_RE = '(?i)hreflang="[a-z]+"\\s+href="([^"]*)"'
+_HREFLANG_RE = (
+    "<" + _nc("link") + "\\s+" + _nc("rel") + '="' + _nc("alternate")
+    + '"\\s+' + _nc("hreflang") + '="([a-z]+)"'
+)
+_ALT_HREF_RE = _nc("hreflang") + '="[a-z]+"\\s+' + _nc("href") + '="([^"]*)"'
 _FAMILY_RE = "^(.*)/[a-z]+$"
 
 
@@ -364,6 +377,7 @@ _HREFLANG_SQL = f"""
       SELECT doc_id,
              regexp_extract(hrefs[1], '{_FAMILY_RE}', 1) AS family,
              CASE WHEN len(langs) = 0 THEN ''
+                  WHEN len(langs) = 1 THEN langs[1]
                   WHEN langs[1] <= langs[2]
                     THEN langs[1] || ',' || langs[2]
                   ELSE langs[2] || ',' || langs[1] END AS langs_csv
@@ -434,10 +448,15 @@ def hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(""),
         ).alias("family"),
-        F.coalesce(
-            F.concat_ws(",", F.least(l1, l2), F.greatest(l1, l2)),
-            F.lit(""),
-        ).alias("langs_csv"),
+        # explicit per-size branches, mirrored in the oracle CASE: Spark's
+        # least/greatest SKIP nulls (a 1-element list would fold to
+        # "en,en") while a bare SQL CASE on langs[2] yields NULL — both
+        # engines therefore branch on the list length itself, so the twins
+        # agree on every list size, not just the 0/2 sizes the plant emits
+        F.when(F.size(lgs) == 0, F.lit(""))
+        .when(F.size(lgs) == 1, l1)
+        .otherwise(F.concat_ws(",", F.least(l1, l2), F.greatest(l1, l2)))
+        .alias("langs_csv"),
     )
     return (
         fam.filter(F.col("family") != "")

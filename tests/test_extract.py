@@ -218,6 +218,62 @@ def test_hreflang_clusters_match_python_reference(spark, sf_dir):
     assert 2 in sizes and 3 in sizes
 
 
+def test_hreflang_langs_csv_twins_agree_on_all_list_sizes(spark):
+    """The langs_csv twins must agree for 0-, 1-, AND 2-alternate pages —
+    the plant only emits 0 or 2, so the 1-alternate branch was a latent
+    twin gap (round-3 ADVICE): Spark's null-skipping least/greatest would
+    fold a lone language to 'en,en' while the SQL CASE yielded NULL. Both
+    sides now branch explicitly on list length; this pins the contract on
+    the sizes the plant never exercises."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from isimip_qa_spark.queries.extract import _HREFLANG_RE
+
+    def head(langs):
+        return "<html><head>" + "".join(
+            f'<link rel="alternate" hreflang="{lg}" '
+            f'href="https://h0.example.org/f/0/{lg}">'
+            for lg in langs
+        ) + "</head>"
+
+    cases = [head([]), head(["en"]), head(["fr", "en"])]
+
+    sdf = spark.createDataFrame([(h,) for h in cases], "head string")
+    lgs = F.regexp_extract_all(F.col("head"), F.lit(_HREFLANG_RE), 1)
+    l1, l2 = F.try_element_at(lgs, F.lit(1)), F.try_element_at(lgs, F.lit(2))
+    got_spark = [
+        r["csv"]
+        for r in sdf.select(
+            F.when(F.size(lgs) == 0, F.lit(""))
+            .when(F.size(lgs) == 1, l1)
+            .otherwise(
+                F.concat_ws(",", F.least(l1, l2), F.greatest(l1, l2))
+            )
+            .alias("csv")
+        ).collect()
+    ]
+
+    re_sql = _HREFLANG_RE.replace("'", "''")
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"""
+            SELECT CASE WHEN len(langs) = 0 THEN ''
+                        WHEN len(langs) = 1 THEN langs[1]
+                        WHEN langs[1] <= langs[2]
+                          THEN langs[1] || ',' || langs[2]
+                        ELSE langs[2] || ',' || langs[1] END
+            FROM (SELECT regexp_extract_all(?, '{re_sql}', 1) AS langs)
+            """,
+            [h],
+        ).fetchone()[0]
+        for h in cases
+    ]
+    assert got_spark == got_duck == ["", "en", "en,fr"]
+
+
 def test_hreflang_clusters_plan_single_exchange(spark, sf_dir):
     from isimip_qa_spark.queries.extract import hreflang_clusters
 

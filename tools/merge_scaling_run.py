@@ -17,16 +17,37 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+REQUIRED_RUN_KEYS = ("levels", "pages_n", "rounds", "n_to_4n_pairs")
+
+
 def main() -> None:
     run_path = sys.argv[1]
     note = sys.argv[2] if len(sys.argv) > 2 else ""
     with open(run_path) as f:
         run = json.load(f)
+    missing = [k for k in REQUIRED_RUN_KEYS if k not in run]
+    if missing:
+        sys.exit(
+            f"error: {run_path} is not a bench_scaling full-matrix run "
+            f"(missing keys: {', '.join(missing)})"
+        )
     path = os.path.join(REPO, "SCALING.json")
     with open(path) as f:
         cur = json.load(f)
 
-    cur["prior_campaign_levels"] = cur["levels"]
+    # keep the FULL level-matrix history: the original campaign matrix goes
+    # in once, every refreshed matrix is appended — re-running the merge
+    # (same or new run file) never overwrites history
+    hist = cur.setdefault("campaign_level_history", [])
+    if not hist:
+        # seed from the legacy single-slot key if a previous merge left one
+        prior = cur.pop("prior_campaign_levels", None)
+        if prior is not None:
+            hist.append(prior)
+        if cur["levels"] not in hist:
+            hist.append(cur["levels"])  # the pre-refresh campaign matrix
+    if run["levels"] not in hist:
+        hist.append(run["levels"])
     cur["levels"] = run["levels"]
     cur["pages_n"] = run["pages_n"]
     cur["rounds"] = run["rounds"]
@@ -40,9 +61,10 @@ def main() -> None:
     }
     pair28 = run["n_to_4n_pairs"].get("local[2] -> local[8]")
     if pair28 and "repeatability_2_8" in cur:
-        cur["repeatability_2_8"]["runs"].append(
-            pair28["scaling_efficiency"]
-        )
+        runs = cur["repeatability_2_8"]["runs"]
+        # guard the append so re-merging the same run file is a no-op
+        if pair28["scaling_efficiency"] not in runs:
+            runs.append(pair28["scaling_efficiency"])
     if note:
         cur["campaign_note"] = note
     with open(path, "w") as f:
