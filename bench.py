@@ -173,14 +173,26 @@ BENCH_QUERIES = [
 
 def ensure_pages(spark, n: int) -> str:
     """Generate-once pages parquet, laid out pre-bucketed on the QA chunk
-    key (marker-gated, deterministic content)."""
-    path = os.path.join(TMP, f"bench_pages_{n}_b{QA_CHUNKS}")
+    key (marker-gated, deterministic content). BENCH_PAGES_CODEC overrides
+    the input parquet codec (default snappy) — the scan-path lever of the
+    2->8 scaling study (BASELINE.md): scan DEcompression CPU scales with
+    cores while raw input bytes from tmpfs do not, so the input codec
+    shifts scan work between the scaling and non-scaling resource."""
+    codec = os.environ.get("BENCH_PAGES_CODEC", "snappy")
+    suffix = "" if codec == "snappy" else f"_{codec}"
+    path = os.path.join(TMP, f"bench_pages_{n}_b{QA_CHUNKS}{suffix}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from isimip_qa_spark.sources.pages import write_pages
 
-        write_pages(
-            spark, path, n, num_partitions=max(CPUS, 8), n_buckets=QA_CHUNKS
-        )
+        prev = spark.conf.get("spark.sql.parquet.compression.codec", None)
+        spark.conf.set("spark.sql.parquet.compression.codec", codec)
+        try:
+            write_pages(
+                spark, path, n, num_partitions=max(CPUS, 8), n_buckets=QA_CHUNKS
+            )
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.parquet.compression.codec", prev)
     return path
 
 
