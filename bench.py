@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "repetition_rules",
     "repetition_ngram_rules",
     "decontaminate",
+    "cut_dup_spans",
+    "minhash_est_audit",
     "ppl_terciles",
     "ppl_bucket_approx",
     "url_canonicalize",

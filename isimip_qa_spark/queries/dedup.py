@@ -771,3 +771,143 @@ def containment_pairs(reps: DataFrame, threshold: float = CONTAIN_THRESHOLD,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(rep_documents(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-quality audit: for every LSH candidate pair, the
+# 64-coefficient signature ESTIMATE of Jaccard (fraction of agreeing
+# minhashes — the statistic banding implicitly thresholds on) side by side
+# with the EXACT shingle-set Jaccard, plus the absolute error. This is the
+# observability a curator needs before trusting the (bands, rows) choice:
+# a drifting corpus (shorter docs, heavier boilerplate) widens the
+# estimator error exactly where the threshold sits, and this table shows
+# it per pair instead of post-hoc in lost recall. The audit runs on the
+# pairs the pipeline actually adjudicates (LSH candidates over exact-dup
+# representatives) — estimator behaviour off the candidate set is a
+# theoretical property (E[est] = J for the universal family), not an
+# operational one.
+#
+# Scale shape: identical to dedup_minhash_lsh through the candidate step
+# (8-byte band keys, capped hot keys); the audit join then ships the
+# 64-long signature + distinct shingle-hash array per side — the same
+# verify-join payload class as _minhash_pairs' sh64 arrays. Everything is
+# exact integer math; est = agree/64 and jaccard = inter/union are single
+# IEEE divisions of identical ints, so the twins match bit-for-bit.
+#
+# The oracle reproduces the ENTIRE pipeline in SQL — 64 literal-coefficient
+# min-folds and the 16 band-key folds — which also pins the band_keys_expr
+# arithmetic cross-engine (previously only tested Python-kernel vs expr).
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sig_sql(shs: str) -> str:
+    from ..functions.fingerprint import MERSENNE31, MINHASH_COEFFS
+
+    mins = ", ".join(
+        f"list_min(list_transform({shs}, h -> (h * {a} + {b}) % {MERSENNE31}))"
+        for a, b in MINHASH_COEFFS
+    )
+    return f"[{mins}]"
+
+
+def _band_keys_sql_terms() -> list[str]:
+    """16 band-key expressions over a list column named `sig` — the exact
+    integer fold of band_keys_expr (functions/fingerprint.py)."""
+    from ..functions.fingerprint import KNUTH, LSH_BANDS, LSH_ROWS, MOD31
+
+    keys = []
+    for band in range(LSH_BANDS):
+        k = str(band)
+        for r in range(LSH_ROWS):
+            k = f"(({k} * {KNUTH} + sig[{band * LSH_ROWS + r + 1}]) % {MOD31})"
+        keys.append(f"({k} + {band * MOD31}::BIGINT)")
+    return keys
+
+
+def _minhash_audit_sql() -> str:
+    from ..functions.fingerprint import token_hash_sql
+
+    sh = shingles_sql("string_split(text, ' ')")
+    th = token_hash_sql("x")
+    bands = ", ".join(_band_keys_sql_terms())
+    return f"""
+    WITH {_REPS_CTE},
+    d AS (SELECT doc_id,
+                 list_distinct(list_transform({sh}, x -> ({th}))) AS shs
+          FROM reps),
+    s AS (SELECT doc_id, shs, {_minhash_sig_sql('shs')} AS sig FROM d),
+    k AS (SELECT doc_id, unnest([{bands}]) AS k FROM s),
+    c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM k a JOIN k b ON a.k = b.k AND a.doc_id < b.doc_id),
+    p AS (
+      SELECT doc_a, doc_b,
+             list_sum(list_transform(range(1, 65),
+               i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+               ::DOUBLE / 64 AS est,
+             len(list_intersect(sa.shs, sb.shs))::DOUBLE
+               / (len(sa.shs) + len(sb.shs)
+                  - len(list_intersect(sa.shs, sb.shs))) AS jac
+      FROM c JOIN s sa ON sa.doc_id = c.doc_a
+             JOIN s sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(est, 6) AS est_jaccard,
+           round(jac, 6) AS jaccard,
+           round(abs(est - jac), 6) AS abs_err
+    FROM p
+    """
+
+
+@register("minhash_est_audit", oracle=_minhash_audit_sql())
+def minhash_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard, jaccard, abs_err) for every LSH
+    candidate pair — the signature-vs-truth audit behind the (16 bands ×
+    4 rows) parameter choice. Payload operator (the reference has no
+    estimator machinery)."""
+    from ..functions.fingerprint import (
+        band_keys_expr,
+        minhash_sig_expr,
+        token_hash_expr,
+    )
+
+    reps = rep_documents(spark, sf_dir)
+    shd = _shingled_of(reps).select(
+        "doc_id",
+        F.array_distinct(F.transform(F.col("sh"), token_hash_expr)).alias(
+            "shs"
+        ),
+    )
+    sig = shd.select(
+        "doc_id", "shs", minhash_sig_expr(F.col("shs")).alias("sig")
+    ).localCheckpoint(eager=False)  # one signature pass; three consumers
+    keyed = sig.select(
+        "doc_id", F.explode(band_keys_expr(F.col("sig"))).alias("k")
+    )
+    cands = candidate_pairs(keyed, "doc_id")
+    a = sig.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("shs").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("shs").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    j = cands.join(a, "doc_id_a").join(b, "doc_id_b")
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z
+        )
+    )
+    est = agree.cast("double") / F.lit(64.0)
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = inter / union
+    return j.select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        F.round(est, 6).alias("est_jaccard"),
+        F.round(jac, 6).alias("jaccard"),
+        F.round(F.abs(est - jac), 6).alias("abs_err"),
+    )

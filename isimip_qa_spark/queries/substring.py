@@ -243,3 +243,86 @@ def doc_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Span cutting — the APPLY face of the span table (Lee et al. 2022 cut the
+# duplicated substrings out of the training text rather than dropping the
+# page; §4 of the paper). Completes the report→apply pairing the way
+# host_boilerplate→strip_boilerplate does for per-host templates.
+#
+# Scale shape: spans aggregate to one array per doc on an 8-byte key; the
+# rebuild joins that array back to the corpus on doc_id — the document
+# text crosses exactly ONE exchange (the join), the same floor as any
+# corpus rewrite (training_prep contract). The per-token keep test is a
+# nested higher-order expression (filter-with-index over exists) — zero
+# Python, O(tokens × spans-per-doc) inside codegen, and spans-per-doc is
+# bounded by the merged-interval construction.
+# ---------------------------------------------------------------------------
+
+
+def _cut_sql(k: int) -> str:
+    return f"""
+    WITH spansq AS ({_spans_sql(k)}),
+    sp AS (
+      SELECT doc_id, list({{'s': span_start, 'e': span_end}}) AS spans
+      FROM spansq GROUP BY doc_id
+    ),
+    j AS (
+      SELECT d.doc_id, string_split(d.text, ' ') AS toks,
+             coalesce(sp.spans, []::STRUCT(s BIGINT, e BIGINT)[]) AS spans
+      FROM documents d LEFT JOIN sp USING (doc_id)
+    ),
+    kq AS (
+      SELECT doc_id, toks,
+             list_filter(toks, (x, i) -> len(list_filter(spans,
+               s -> s.s <= i - 1 AND i - 1 <= s.e)) = 0) AS kept
+      FROM j
+    )
+    SELECT doc_id,
+           -- DuckDB's array_to_string yields NULL on an empty list where
+           -- Spark's array_join yields '' — coalesce to the Spark contract
+           coalesce(array_to_string(kept, ' '), '') AS clean_text,
+           len(toks)::BIGINT AS n_tokens,
+           (len(toks) - len(kept))::BIGINT AS n_cut
+    FROM kq
+    """
+
+
+@register("cut_dup_spans", oracle=_cut_sql(K_GRAM))
+def cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, clean_text, n_tokens, n_cut): every document rebuilt with
+    its corpus-duplicated spans removed — the writer-side apply of
+    `dedup_substring_spans` (Lee et al. 2022 cut, not drop). Documents
+    without spans pass through byte-identical; n_cut equals the span
+    table's dup_tokens (asserted in tests/test_cut_spans.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    spans = (
+        dedup_substring_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("spans")
+        )
+    )
+    toks = F.split(F.col("text"), " ")
+    j = docs.select("doc_id", toks.alias("toks")).join(spans, "doc_id", "left")
+    sps = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<s:long,e:long>>")
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.exists(
+            sps, lambda s: (s["s"] <= i) & (i <= s["e"])
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_cut"),
+    )
