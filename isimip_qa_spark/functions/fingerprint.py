@@ -252,9 +252,8 @@ def minhash_bands_udf(text):
     return F.pandas_udf(minhash_band_keys_series, "array<long>")(text)
 
 
-def _bands_from_parts(hashes, starts):
-    """(shingle hashes, segment starts) → (n_docs, LSH_BANDS) band keys —
-    the shared tail of minhash_band_keys_series.
+def _sigs_from_parts(hashes, starts):
+    """(shingle hashes, segment starts) → (n_docs, N_MINHASH) signatures.
 
     One universal-hash pass per coefficient with preallocated in-place
     buffers: the working set is one shingle-sized int64 vector (~4 MB at a
@@ -276,12 +275,57 @@ def _bands_from_parts(hashes, starts):
             np.add(tmp, b, out=tmp)
             np.remainder(tmp, MERSENNE31, out=tmp)
             sigs[nonempty, j] = np.minimum.reduceat(tmp, red_starts)[:n_ne]
+    return sigs
+
+
+def _bands_from_parts(hashes, starts):
+    """(shingle hashes, segment starts) → (n_docs, LSH_BANDS) band keys —
+    the shared tail of minhash_band_keys_series (sig pass + band fold)."""
+    import numpy as np
+
+    sigs = _sigs_from_parts(hashes, starts)
+    n_docs = sigs.shape[0]
     sig3 = sigs.reshape(n_docs, LSH_BANDS, LSH_ROWS)
     bands = np.arange(LSH_BANDS, dtype=np.int64)
     keys = np.tile(bands, (n_docs, 1))
     for r in range(LSH_ROWS):
         keys = (keys * np.int64(KNUTH) + sig3[:, :, r]) % np.int64(MOD31)
     return keys + bands[None, :] * np.int64(MOD31)
+
+
+def minhash_audit_series(texts):
+    """Per doc: struct(sig: the 64 minhashes, shs: sorted DISTINCT shingle
+    hashes) — the estimator-audit kernel (queries/dedup.py
+    minhash_est_audit). Same shingle/sig passes as the band-key kernel
+    (bit-identical to the expression path, asserted in
+    tests/test_minhash_audit.py); the distinct-per-doc step is one lexsort
+    + adjacent-dedup over the whole Arrow batch, never per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    hashes, starts = _shingle_parts(texts)
+    sigs = _sigs_from_parts(hashes, starts)
+    n_docs = len(starts) - 1
+    seg = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(starts))
+    order = np.lexsort((hashes, seg))
+    hs, sg = hashes[order], seg[order]
+    first = np.ones(hs.size, dtype=bool)
+    if hs.size:
+        first[1:] = (hs[1:] != hs[:-1]) | (sg[1:] != sg[:-1])
+    hs_u, sg_u = hs[first], sg[first]
+    counts = np.bincount(sg_u, minlength=n_docs)
+    splits = np.cumsum(counts)[:-1]
+    return pd.DataFrame(
+        {"sig": list(sigs), "shs": np.split(hs_u, splits)}
+    )
+
+
+def minhash_audit_udf(text):
+    from pyspark.sql import functions as F
+
+    return F.pandas_udf(
+        minhash_audit_series, "struct<sig: array<long>, shs: array<long>>"
+    )(text)
 
 
 def simhash_series(texts, bits: int = SIMHASH_BITS):

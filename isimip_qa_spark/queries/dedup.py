@@ -863,23 +863,25 @@ def minhash_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, est_jaccard, jaccard, abs_err) for every LSH
     candidate pair — the signature-vs-truth audit behind the (16 bands ×
     4 rows) parameter choice. Payload operator (the reference has no
-    estimator machinery)."""
-    from ..functions.fingerprint import (
-        band_keys_expr,
-        minhash_sig_expr,
-        token_hash_expr,
-    )
+    estimator machinery).
+
+    Signatures and distinct shingle-hash sets come from ONE Arrow-batched
+    kernel pass (minhash_audit_series — the slow 64-HOF expression path is
+    exactly what the band-key kernel replaced at 20×, and an audit query
+    must not reintroduce it); band keys then fold from the sig array as
+    pure projections."""
+    from ..functions.fingerprint import band_keys_expr, minhash_audit_udf
 
     reps = rep_documents(spark, sf_dir)
-    shd = _shingled_of(reps).select(
-        "doc_id",
-        F.array_distinct(F.transform(F.col("sh"), token_hash_expr)).alias(
-            "shs"
-        ),
+    sig = (
+        reps.select("doc_id", minhash_audit_udf(F.col("text")).alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.shs").alias("shs"),
+            F.col("m.sig").alias("sig"),
+        )
+        .localCheckpoint(eager=False)  # one kernel pass; three consumers
     )
-    sig = shd.select(
-        "doc_id", "shs", minhash_sig_expr(F.col("shs")).alias("sig")
-    ).localCheckpoint(eager=False)  # one signature pass; three consumers
     keyed = sig.select(
         "doc_id", F.explode(band_keys_expr(F.col("sig"))).alias("k")
     )

@@ -138,6 +138,42 @@ def test_audit_matches_python_golden(spark, docs_dir):
     assert (2, 3) not in want
 
 
+def test_audit_kernel_equals_expression_path(spark, docs_dir):
+    """The Arrow kernel (minhash_audit_series) must be bit-identical to
+    the expression path minhash_sig_expr over hashed shingles, and its
+    distinct shingle-hash sets must equal the expression path's — the same
+    float/int-parity discipline as the band-key kernel."""
+    from pyspark.sql import functions as F
+
+    from isimip_qa_spark.functions import textstats as ts
+    from isimip_qa_spark.functions.fingerprint import (
+        minhash_audit_udf,
+        minhash_sig_expr,
+        shingles_expr,
+        token_hash_expr,
+    )
+
+    d = spark.read.parquet(f"{docs_dir}/documents.parquet")
+    shs_expr = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                shingles_expr(ts.tokens_expr(F.col("text"))),
+                token_hash_expr,
+            )
+        )
+    )
+    j = d.select(
+        "doc_id",
+        minhash_audit_udf(F.col("text")).alias("m"),
+        shs_expr.alias("e_shs"),
+        minhash_sig_expr(shs_expr).alias("e_sig"),
+    )
+    bad = j.filter(
+        (F.col("m.sig") != F.col("e_sig")) | (F.col("m.shs") != F.col("e_shs"))
+    )
+    assert bad.count() == 0
+
+
 def test_audit_candidates_cover_verified_pairs(spark, sf_dir):
     from isimip_qa_spark.queries.dedup import (
         dedup_minhash_lsh,
