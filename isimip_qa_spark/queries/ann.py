@@ -91,10 +91,27 @@ _PLANTED_SRC_CTE = (
 
 def _planted_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings(vec_id, embedding) with the planted pairs unioned in —
-    the Spark twin of _PLANTED_SRC_CTE."""
-    plant = spark.createDataFrame(
-        [(vid, vec) for vid, vec in plant_rows()],
-        "vec_id long, embedding array<float>",
+    the Spark twin of _PLANTED_SRC_CTE.
+
+    The plant is a LITERAL-expression branch (single-partition range →
+    explode of lit structs), not a createDataFrame: a Python-RDD leaf
+    costs a Python worker round-trip and defaults to defaultParallelism
+    near-empty tasks, which doubled the planted queries' wall at sf0.1
+    (measured 0.8s → 1.6s); the literal branch is one JVM task and the
+    same six rows."""
+    cols = [
+        F.struct(
+            F.lit(vid).alias("vec_id"),
+            F.array(*[F.lit(float(x)) for x in vec])
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+        for vid, vec in plant_rows()
+    ]
+    plant = (
+        spark.range(0, 1, 1, 1)
+        .select(F.explode(F.array(*cols)).alias("s"))
+        .select("s.vec_id", "s.embedding")
     )
     return (
         read_table(spark, sf_dir, "embeddings")

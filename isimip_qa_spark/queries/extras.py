@@ -132,9 +132,12 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # literal single-partition plant branch (no Python-RDD leaf — see
+    # queries/ann.py:_planted_src for the measured cost of the alternative)
     c = c.unionByName(
-        spark.createDataFrame(
-            [(-1, "PLANTED")], "c_custkey long, c_mktsegment string"
+        spark.range(0, 1, 1, 1).select(
+            F.lit(-1).cast("long").alias("c_custkey"),
+            F.lit("PLANTED").alias("c_mktsegment"),
         )
     )
     o = read_table(spark, sf_dir, "orders")
