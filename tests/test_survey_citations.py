@@ -48,6 +48,15 @@ def test_survey_citations_resolve():
     assert not errors, "\n".join(errors)
 
 
+def test_other_doc_citations_resolve():
+    errors = []
+    for doc in ["README.md", "BASELINE.md", "FIXTURES.md", "TESTDATA.md"]:
+        p = REPO / doc
+        if p.exists():
+            _check(doc, p.read_text(), errors)
+    assert not errors, "\n".join(errors)
+
+
 def test_package_docstring_citations_resolve():
     errors = []
     for py in sorted((REPO / "isimip_qa_spark").rglob("*.py")):
