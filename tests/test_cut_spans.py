@@ -105,6 +105,59 @@ def test_cut_matches_python_reference_and_coverage(spark, docs_dir):
         assert n_cut == cov[did], did
 
 
+def test_cut_twins_agree_on_random_corpora(spark, tmp_path):
+    """Property: Spark and the DuckDB twin agree byte-for-byte on random
+    corpora drawn from a tiny word alphabet (high k-gram collision rate →
+    natural duplicated spans), including the edges the fixture can't hit:
+    empty text, single-token docs, docs of exactly K_GRAM tokens, docs
+    that are one long duplicated run."""
+    import duckdb
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from isimip_qa_spark.queries.substring import K_GRAM, _cut_sql, cut_dup_spans
+
+    words = ["aa", "bb", "cc"]
+    doc = st.lists(st.sampled_from(words), max_size=12).map(" ".join)
+    corpora = st.lists(doc, min_size=2, max_size=8)
+    counter = [0]
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(corpora)
+    def run(texts):
+        counter[0] += 1
+        d = tmp_path / f"rc{counter[0]}"
+        d.mkdir()
+        table = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(table, f"{d}/documents.parquet")
+        got = sorted(
+            (r["doc_id"], r["clean_text"], r["n_tokens"], r["n_cut"])
+            for r in cut_dup_spans(spark, str(d)).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = sorted(tuple(r) for r in con.execute(_cut_sql(K_GRAM)).fetchall())
+        assert got == want
+
+    run()
+
+
 def test_cut_plan_is_python_free(spark, docs_dir):
     from isimip_qa_spark.queries.substring import cut_dup_spans
 
