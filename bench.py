@@ -12,7 +12,10 @@ Env knobs:
     SPARK_GRAFT_SF_DIR   table dir     (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[N]      (default 32)
     BENCH_PAGES_N        pages corpus  (default 1_000_000)
+    BENCH_PAGES_CODEC    input parquet codec (default snappy; the
+                         scan-path lever of the 2->8 scaling study)
     BENCH_SKIP_PAGES=1   skip the QA-pipeline segment
+    BENCH_SKIP_100K=1    skip the extra 100k-band measurement
     BENCH_QA_ONLY=1      skip the per-query segment (scaling runs)
 
 Scaling evidence (N vs 4N cores) is produced by tools/bench_scaling.py,

@@ -174,6 +174,28 @@ def test_audit_kernel_equals_expression_path(spark, docs_dir):
     assert bad.count() == 0
 
 
+def test_audit_plan_python_is_only_the_arrow_kernel(spark, docs_dir):
+    """The only Python in the plan is the Arrow signature kernel —
+    candidates, band folds, agreement count, and the exact Jaccard all
+    stay JVM-side (the audit must not reintroduce the expression-path
+    regression it was rewritten to avoid). The kernel prints once per
+    consumer branch of the memoized frame until the lazy localCheckpoint
+    materializes (then branches read Scan ExistingRDD), so the lock is on
+    the KIND of Python node, with a branch-count cap."""
+    from isimip_qa_spark.queries.dedup import minhash_est_audit
+
+    df = minhash_est_audit(spark, docs_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python ever
+    arrow_nodes = [
+        line for line in plan.splitlines() if "ArrowEvalPython" in line
+    ]
+    assert len(arrow_nodes) <= 3, plan  # one kernel, <= one per branch
+    for line in arrow_nodes:
+        assert "minhash_audit_series" in line, line  # only THE kernel
+
+
 def test_audit_candidates_cover_verified_pairs(spark, sf_dir):
     from isimip_qa_spark.queries.dedup import (
         dedup_minhash_lsh,
