@@ -535,6 +535,27 @@ def _simhash_pairs(sig: DataFrame, n_chunks: int, chunk_bits: int,
     )
 
 
+def _simhash_chunk_keys_sql(n_chunks: int, chunk_bits: int) -> str:
+    """DuckDB twin of _chunk_keys over a column named `sh`."""
+    mask = (1 << chunk_bits) - 1
+    terms = [
+        f"((sh >> {chunk_bits * i}) & {mask}) + {(i + 1) << (chunk_bits + 1)}"
+        for i in range(n_chunks)
+    ]
+    return "[" + ", ".join(terms) + "]"
+
+
+# The demo-width (28-bit) simhash twin applies the IDENTICAL
+# blocking-key frequency cap as the engine (cap_hot_keys) — at sf0.1 the
+# fixture's template clusters push one 14-bit chunk key to 261 > 256
+# docs, so the cap is LIVE there by construction of the demo width and an
+# uncapped ground-truth twin would (correctly) report the bounded recall
+# as a mismatch (found by the round-4 cross-sf run). The production-width
+# dedup_simhash64 below keeps the UNCAPPED O(n²) ground-truth twin: its
+# 16-bit chunks over a 64-bit fingerprint keep every key far below the
+# cap at tested scales, so the oracle still proves the cap inert there —
+# the same split of roles as _jaccard_pairs_capped_sql vs
+# _jaccard_pairs_sql for the shingle DF cap.
 @register(
     "dedup_simhash",
     oracle=f"""
@@ -543,11 +564,19 @@ def _simhash_pairs(sig: DataFrame, n_chunks: int, chunk_bits: int,
       SELECT doc_id,
              {simhash_sql('string_split(text, ' + chr(39) + ' ' + chr(39) + ')', SIMHASH_DEDUP_BITS)} AS sh
       FROM reps
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-    FROM d a JOIN d b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_HAMMING_MAX}
+    ),
+    k AS (SELECT doc_id,
+                 unnest({_simhash_chunk_keys_sql(SIMHASH_CHUNKS, _CHUNK_BITS)}) AS k
+          FROM d),
+    kc AS (SELECT doc_id, k FROM (
+             SELECT doc_id, k, count(*) OVER (PARTITION BY k) AS f FROM k)
+           WHERE f <= {BUCKET_CAP}),
+    c AS (SELECT DISTINCT a.doc_id AS d_a, b.doc_id AS d_b
+          FROM kc a JOIN kc b ON a.k = b.k AND a.doc_id < b.doc_id)
+    SELECT c.d_a AS doc_a, c.d_b AS doc_b,
+           CAST(bit_count(xor(da.sh, db.sh)) AS BIGINT) AS hamming
+    FROM c JOIN d da ON da.doc_id = c.d_a JOIN d db ON db.doc_id = c.d_b
+    WHERE bit_count(xor(da.sh, db.sh)) <= {SIMHASH_HAMMING_MAX}
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
