@@ -588,21 +588,30 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.lang, d.source,
            count(*) AS n_docs,
            CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-           round(avg(g.distinct_word_ratio), 6) AS avg_distinct_ratio
+           round(avg(floor(g.distinct_word_ratio * 1048576) / 1048576), 6)
+             AS avg_distinct_ratio
     FROM documents d JOIN g ON d.doc_id = g.doc_id
     GROUP BY d.lang, d.source
     """,
 )
 def lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) keep-rate + mean quality. The per-doc ratio is
+    1/2²⁰-dyadic-quantized BEFORE the average on both engines (the
+    source_divergence/pagerank discipline): a sum of ≤2²⁰-denominator
+    dyadics is exact in any order, so the group mean is one IEEE division
+    of identical operands — found the hard way when one (fr, src19) group
+    at sf0.001 landed a summation-order ULP exactly on the round-6
+    boundary (0.510943 vs 0.510942)."""
     d = read_table(spark, sf_dir, "documents")
     g = gopher_rules(spark, sf_dir)
+    q = F.floor(F.col("distinct_word_ratio") * (1 << 20)) / (1 << 20)
     return (
         d.join(g, "doc_id")
         .groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
-            F.round(F.avg("distinct_word_ratio"), 6).alias("avg_distinct_ratio"),
+            F.round(F.avg(q), 6).alias("avg_distinct_ratio"),
         )
     )
 
