@@ -198,6 +198,11 @@ def ensure_pages(spark, n: int) -> str:
         finally:
             if prev is not None:
                 spark.conf.set("spark.sql.parquet.compression.codec", prev)
+            else:
+                # conf was unset before: unset it again, else a non-default
+                # BENCH_PAGES_CODEC override would silently change the codec
+                # of every later parquet write in this session
+                spark.conf.unset("spark.sql.parquet.compression.codec")
     return path
 
 

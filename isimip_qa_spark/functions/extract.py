@@ -100,9 +100,17 @@ def nocase(lit: str) -> str:
     Kelvin → k, dotless/dotted i → i) inside a tag literal would match on
     one engine and not the other. Explicit [Aa]-style classes have
     identical semantics in Java, RE2, and Python, so every head-tag
-    pattern in the repo is built through this helper instead of (?i)."""
+    pattern in the repo is built through this helper instead of (?i).
+
+    Non-alphabetic characters are backslash-escaped (digits and '_'
+    excepted — never special) so a literal containing a regex
+    metacharacter (. ? -) stays a literal; '\\.' '\\-' etc. quote the
+    character identically in Java regex, RE2, and Python."""
     return "".join(
-        f"[{c.upper()}{c.lower()}]" if c.isalpha() else c for c in lit
+        f"[{c.upper()}{c.lower()}]"
+        if c.isalpha()
+        else (c if c.isdigit() or c == "_" else "\\" + c)
+        for c in lit
     )
 
 

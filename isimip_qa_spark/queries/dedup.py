@@ -866,8 +866,11 @@ def _minhash_audit_sql() -> str:
           FROM reps),
     s AS (SELECT doc_id, shs, {_minhash_sig_sql('shs')} AS sig FROM d),
     k AS (SELECT doc_id, unnest([{bands}]) AS k FROM s),
+    kc AS (SELECT doc_id, k FROM (
+             SELECT doc_id, k, count(*) OVER (PARTITION BY k) AS f FROM k)
+           WHERE f <= {BUCKET_CAP}),
     c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM k a JOIN k b ON a.k = b.k AND a.doc_id < b.doc_id),
+          FROM kc a JOIN kc b ON a.k = b.k AND a.doc_id < b.doc_id),
     p AS (
       SELECT doc_a, doc_b,
              list_sum(list_transform(range(1, 65),
@@ -898,7 +901,15 @@ def minhash_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel pass (minhash_audit_series — the slow 64-HOF expression path is
     exactly what the band-key kernel replaced at 20×, and an audit query
     must not reintroduce it); band keys then fold from the sig array as
-    pure projections."""
+    pure projections.
+
+    The oracle mirrors the engine's live blocking-key frequency cap
+    (candidate_pairs / BUCKET_CAP) with the same `f <= cap` windowed CTE as
+    the demo-width dedup_simhash twin — the cap is inert at all three
+    tested scales today, but the round-4 simhash experience showed a demo
+    parameterization can push a key past the cap at larger sf, and an
+    audit twin should stay green when it does. The UNCAPPED ground-truth
+    role for the minhash family is carried by dedup_minhash_lsh's twin."""
     from ..functions.fingerprint import band_keys_expr, minhash_audit_udf
 
     reps = rep_documents(spark, sf_dir)

@@ -285,3 +285,29 @@ def test_hreflang_clusters_plan_single_exchange(spark, sf_dir):
     )
     assert plan.count("Exchange") == 1
     assert "Python" not in plan
+
+
+def test_nocase_escapes_regex_metacharacters():
+    """nocase() must keep a literal a literal in BOTH regex engines: a
+    metacharacter (. ? -) in the input is backslash-escaped, alpha chars
+    become [Aa]-classes, digits/underscore pass through (ADVICE r4)."""
+    import re
+
+    import duckdb
+
+    from isimip_qa_spark.functions.extract import nocase
+
+    pat = nocase("x-ray.v2?")
+    # matches the case variants…
+    for s in ("x-ray.v2?", "X-RAY.V2?", "X-Ray.V2?"):
+        assert re.fullmatch(pat, s), (pat, s)
+    # …and the '.' / '?' stay literals: 'xzrayXv2' must NOT match
+    assert re.search(pat, "x-rayXv2?") is None
+    assert re.search(pat, "x-ray.v2") is None
+    # identical semantics in DuckDB's RE2
+    con = duckdb.connect()
+    q = "SELECT regexp_matches(?, ?)"
+    assert con.execute(q, ["X-RAY.V2?", pat]).fetchone()[0]
+    assert not con.execute(q, ["x-rayXv2?", pat]).fetchone()[0]
+    # pure-alpha literals are unchanged by the escaping rule
+    assert nocase("href") == "[Hh][Rr][Ee][Ff]"

@@ -25,6 +25,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -113,6 +114,10 @@ def main() -> None:
                 "pass": eff >= 0.8,
             }
     summary = {
+        # unique per invocation: merge_scaling_run.py keys its repeatability
+        # idempotency guard on this (equal efficiency VALUES are expected
+        # across genuine repeat runs, so the value can't be the key)
+        "run_id": time.strftime("%Y%m%dT%H%M%SZ", time.gmtime()),
         "pages_n": pages_n,
         "rounds": rounds,
         "levels": {

@@ -10,6 +10,7 @@ Usage: python tools/merge_scaling_run.py /tmp/scaling_r3/final3.json "note"
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -61,10 +62,20 @@ def main() -> None:
     }
     pair28 = run["n_to_4n_pairs"].get("local[2] -> local[8]")
     if pair28 and "repeatability_2_8" in cur:
-        runs = cur["repeatability_2_8"]["runs"]
-        # guard the append so re-merging the same run file is a no-op
-        if pair28["scaling_efficiency"] not in runs:
-            runs.append(pair28["scaling_efficiency"])
+        rep = cur["repeatability_2_8"]
+        # idempotency guard keyed on a RUN IDENTIFIER, not the efficiency
+        # value: repeatability runs measure the same quantity repeatedly,
+        # so equal values are expected — keying on the value would silently
+        # drop a genuine repeat measurement that landed the same rounded
+        # efficiency. bench_scaling.py stamps run_id; legacy run files
+        # without one are identified by their canonical content hash.
+        run_id = run.get("run_id") or hashlib.sha256(
+            json.dumps(run, sort_keys=True).encode()
+        ).hexdigest()[:16]
+        merged = rep.setdefault("merged_run_ids", [])
+        if run_id not in merged:
+            merged.append(run_id)
+            rep["runs"].append(pair28["scaling_efficiency"])
     if note:
         cur["campaign_note"] = note
     with open(path, "w") as f:
