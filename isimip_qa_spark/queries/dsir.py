@@ -463,9 +463,18 @@ _SELECT_SQL = (
     )
 )
 
-_KL_SQL = (
-    _SELECT_SQL
-    + f""",
+def _kl_sql(prec: int = 6) -> str:
+    """The dsir_kl twin with a parameterized final rounding precision.
+
+    prec=6 is the registered oracle; tests/test_dyadic_discipline.py
+    re-runs it at prec=12 to assert the UNROUNDED KL sums sit nowhere near
+    a round-6 boundary (the ln() terms are not dyadic, so the ~1e-12
+    cross-engine accumulation jitter documented on dsir_kl is absorbed by
+    rounding only while that distance holds — the boundary-distance arm of
+    the VERDICT r4 dyadic-discipline sweep)."""
+    return (
+        _SELECT_SQL
+        + f""",
 sel AS (SELECT doc_id FROM scored ORDER BY gumbel_key DESC, doc_id
         LIMIT {SELECT_K}),
 selcnt AS (
@@ -485,15 +494,18 @@ tot AS (
 SELECT
   round(sum(((s_cnt + {ALPHA})::DOUBLE / (s_tot + {ALPHA * B}))
         * ln(((s_cnt + {ALPHA})::DOUBLE / (s_tot + {ALPHA * B}))
-           / ((target_cnt + {ALPHA})::DOUBLE / (t_tot + {ALPHA * B})))), 6)
+           / ((target_cnt + {ALPHA})::DOUBLE / (t_tot + {ALPHA * B})))), {prec})
     AS kl_selected,
   round(sum(((raw_cnt + {ALPHA})::DOUBLE / (r_tot + {ALPHA * B}))
         * ln(((raw_cnt + {ALPHA})::DOUBLE / (r_tot + {ALPHA * B}))
-           / ((target_cnt + {ALPHA})::DOUBLE / (t_tot + {ALPHA * B})))), 6)
+           / ((target_cnt + {ALPHA})::DOUBLE / (t_tot + {ALPHA * B})))), {prec})
     AS kl_raw
 FROM dist, tot
 """
-)
+    )
+
+
+_KL_SQL = _kl_sql()
 
 
 @register("dsir_kl", _KL_SQL)

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import read_table
 from . import register
+from .datasheet import QD
 from .dedup import JACCARD_THRESHOLD, _clusters_sql, cluster_assignment
 from .webtext import QUALITY_SQL, quality_expr
 
@@ -164,22 +165,25 @@ def chunk_long_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "domain_diversity",
-    oracle="""
+    oracle=f"""
     WITH per AS (
       SELECT source,
              sum(len(string_split(text, ' ')))::BIGINT AS toks
       FROM documents GROUP BY source
     ),
     t AS (SELECT sum(toks)::BIGINT AS tot FROM per),
-    p AS (SELECT toks::DOUBLE / tot AS share FROM per, t)
+    p AS (SELECT toks::DOUBLE / tot AS share FROM per, t),
+    q AS (SELECT share,
+                 round(share * log2(share) * {QD}) / {QD} AS e_t,
+                 round(share * share * {QD}) / {QD} AS h_t
+          FROM p)
     SELECT count(*)::BIGINT AS n_sources,
            (SELECT tot FROM t) AS total_tokens,
-           round(-sum(share * log2(share)), 6) AS entropy_bits,
-           round(-sum(share * log2(share)) / log2(count(*)), 6)
-             AS norm_entropy,
-           round(sum(share * share), 6) AS hhi,
+           round(-sum(e_t), 6) AS entropy_bits,
+           round(-sum(e_t) / log2(count(*)), 6) AS norm_entropy,
+           round(sum(h_t), 6) AS hhi,
            round(max(share), 6) AS top_share
-    FROM p
+    FROM q
     """,
 )
 def domain_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,7 +191,17 @@ def domain_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_share) over per-source token shares.
 
     Two partial-aggregable hash aggs (source → 1 row); the denominator is
-    a 1-row broadcast joined back, so the corpus is scanned once."""
+    a 1-row broadcast joined back, so the corpus is scanned once.
+
+    Float contract (the source_divergence QD discipline): each entropy /
+    HHI contribution is quantized to the 1/2²⁰ dyadic grid BEFORE the sum
+    on both engines, so entropy_bits and hhi are sums of identical dyadics
+    — exact in any accumulation order. The round-5 dyadic sweep probe
+    (tests/test_dyadic_discipline.py) caught the unquantized norm_entropy
+    sitting 8.5e-10 from a round-6 boundary at sf0.01 — exactly the
+    round-4 lang_quality_rollup failure class, fixed the same way. The
+    remaining libm exposure is ONE division by log2(n_sources) in
+    norm_entropy (≤1-ulp cross-engine), boundary-probed at 1e-12."""
     docs = read_table(spark, sf_dir, "documents")
     per = docs.groupBy("source").agg(
         F.sum(F.size(F.split(F.col("text"), " "))).alias("toks")
@@ -197,13 +211,15 @@ def domain_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("toks").cast("double") / F.col("tot")).alias("share"),
         "tot",
     )
-    ent = -F.sum(F.col("share") * F.log2("share"))
+    e_t = F.round(F.col("share") * F.log2("share") * QD) / QD
+    h_t = F.round(F.col("share") * F.col("share") * QD) / QD
+    ent = -F.sum(e_t)
     return p.agg(
         F.count("*").alias("n_sources"),
         F.first("tot").alias("total_tokens"),
         F.round(ent, 6).alias("entropy_bits"),
         F.round(ent / F.log2(F.count("*")), 6).alias("norm_entropy"),
-        F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+        F.round(F.sum(h_t), 6).alias("hhi"),
         F.round(F.max("share"), 6).alias("top_share"),
     )
 
