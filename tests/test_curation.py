@@ -174,3 +174,13 @@ def test_strip_boilerplate_planted(spark, tmp_path):
         assert got[i]["n_stripped"] == 1 and got[i]["n_segs"] == 2
     assert got[9]["text_clean"] == clean_text
     assert got[9]["n_stripped"] == 0
+
+
+def test_ppl_bucket_agreement_row(spark, sf_dir, docs_pdf):
+    """The driver-visible companion row: full population, boolean bar
+    cleared, exactly one row (the per-doc >=98% strength lives in
+    test_ppl_bucket_approx_agrees_with_exact above)."""
+    got = QUERIES["ppl_bucket_agreement"](spark, sf_dir).toPandas()
+    assert len(got) == 1
+    assert int(got["n_docs"].iloc[0]) == len(docs_pdf)
+    assert bool(got["agreement_ok"].iloc[0]) is True
